@@ -1,0 +1,196 @@
+"""Checkpoint I/O.
+
+Two formats:
+  * Reference-compatible: the .pth.tar dict
+    ``{tier, num_classes, num_frames, variant, model: state_dict}``
+    (rubiksnet/models.py:52-62), loaded with torch (CPU) and converted to
+    flax params/batch_stats trees (OIHW -> HWIO kernels, (out,in) -> (in,out)
+    dense kernels, BN weight/bias -> scale/bias + running stats).
+  * Native: msgpack via flax.serialization, same metadata dict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from flax.core import FrozenDict
+
+from .rubiksnet import RubiksNet, RubiksNetBundle, create_rubiksnet
+
+__all__ = [
+    "load_pretrained",
+    "convert_torch_state_dict",
+    "save_checkpoint",
+    "load_checkpoint",
+]
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], variant: str):
+    """Convert a reference RubiksNet torch state_dict (numpy values accepted)
+    into (params, batch_stats) nested dicts matching our flax module tree.
+
+    Key layout documented from the reference modules:
+      backbone.layerI.B.{bn1,conv2,bn2,as3,se,conv3,shortcut}.* with
+      as3.rubiks3d.shift for the rubiks3d variant (models.py:84-88,128-137)
+      and conv2 = Sequential(AttentionShift, Conv) for rubiks3d-aq
+      (models.py:74-79), i.e. conv2.0.weight = attention (C, 3),
+      conv2.1.weight = the 1x1 conv.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def as_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        v = as_np(value)
+
+        # Merge "layerI.B" into the flax module name "layerI_B".
+        norm = []
+        i = 0
+        while i < len(parts):
+            p = parts[i]
+            if p.startswith("layer") and i + 1 < len(parts) and parts[i + 1].isdigit():
+                norm.append(f"{p}_{parts[i + 1]}")
+                i += 2
+            else:
+                norm.append(p)
+                i += 1
+        parts = norm
+
+        # AQ variant: conv2 is Sequential(AttentionShift, Conv1x1).
+        if variant == "rubiks3d-aq" and "conv2" in parts:
+            j = parts.index("conv2")
+            if j + 1 < len(parts) and parts[j + 1] in ("0", "1"):
+                if parts[j + 1] == "0":
+                    if parts[-1] == "T":  # fixed temperature, not a tensor we use
+                        continue
+                    _set(params, tuple(parts[:j]) + ("aq_shift", "weight"), jnp.asarray(v))
+                    continue
+                parts = parts[: j + 1] + parts[j + 2 :]
+
+        # SELayer: se.fc.0 / se.fc.2 -> se/fc1, se/fc2.
+        if "se" in parts and "fc" in parts:
+            j = parts.index("fc")
+            idx = parts[j + 1]
+            fc_name = {"0": "fc1", "2": "fc2"}[idx]
+            parts = parts[:j] + [fc_name] + parts[j + 2 :]
+
+        leaf = parts[-1]
+        base = tuple(parts[:-1])
+
+        if leaf == "shift":
+            _set(params, base + ("shift",), jnp.asarray(v))
+        elif leaf == "weight":
+            if v.ndim == 4:  # conv OIHW -> HWIO
+                _set(params, base + ("kernel",), jnp.asarray(v.transpose(2, 3, 1, 0)))
+            elif v.ndim == 2:  # linear (out,in) -> (in,out)
+                _set(params, base + ("kernel",), jnp.asarray(v.T))
+            elif v.ndim == 1:  # batch norm scale
+                _set(params, base + ("scale",), jnp.asarray(v))
+            else:
+                raise ValueError(f"unexpected weight shape {v.shape} at {key}")
+        elif leaf == "bias":
+            _set(params, base + ("bias",), jnp.asarray(v))
+        elif leaf == "running_mean":
+            _set(stats, base + ("mean",), jnp.asarray(v))
+        elif leaf == "running_var":
+            _set(stats, base + ("var",), jnp.asarray(v))
+        else:
+            raise ValueError(f"unhandled checkpoint key: {key}")
+
+    return params, stats
+
+
+def _tree_paths(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict) or hasattr(v, "items"):
+            yield from _tree_paths(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def _check_compatible(target, converted, what):
+    tpaths = {p: np.shape(v) for p, v in _tree_paths(target)}
+    cpaths = {p: np.shape(v) for p, v in _tree_paths(converted)}
+    missing = set(tpaths) - set(cpaths)
+    extra = set(cpaths) - set(tpaths)
+    if missing or extra:
+        raise ValueError(
+            f"{what} tree mismatch.\n  missing: {sorted(missing)[:8]}\n"
+            f"  unexpected: {sorted(extra)[:8]}"
+        )
+    for p in tpaths:
+        if tpaths[p] != cpaths[p]:
+            raise ValueError(f"{what} shape mismatch at {p}: {tpaths[p]} vs {cpaths[p]}")
+
+
+def load_pretrained(ckpt_path: str, dtype=jnp.float32) -> RubiksNetBundle:
+    """Load a reference .pth.tar checkpoint (models.py:52-62) or a native
+    msgpack checkpoint, returning a ready-to-run bundle."""
+    ckpt_path = os.path.expanduser(ckpt_path)
+    if ckpt_path.endswith((".msgpack", ".rubiks")):
+        return load_checkpoint(ckpt_path, dtype=dtype)
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    bundle = create_rubiksnet(
+        tier=ckpt["tier"],
+        num_classes=ckpt["num_classes"],
+        num_frames=ckpt["num_frames"],
+        variant=ckpt["variant"],
+        dtype=dtype,
+    )
+    params, stats = convert_torch_state_dict(ckpt["model"], ckpt["variant"])
+    _check_compatible(serialization.to_state_dict(bundle.variables["params"]), params, "params")
+    if "batch_stats" in bundle.variables:
+        _check_compatible(
+            serialization.to_state_dict(bundle.variables["batch_stats"]), stats,
+            "batch_stats",
+        )
+    variables = FrozenDict({"params": params, "batch_stats": stats})
+    return RubiksNetBundle(model=bundle.model, variables=variables)
+
+
+def save_checkpoint(bundle: RubiksNetBundle, path: str):
+    """Native checkpoint: metadata + variables, msgpack-serialized."""
+    payload = {
+        "tier": bundle.model.tier,
+        "num_classes": bundle.model.num_classes,
+        "num_frames": bundle.model.num_frames,
+        "variant": bundle.model.variant,
+        "variables": serialization.to_state_dict(bundle.variables),
+    }
+    data = serialization.msgpack_serialize(payload)
+    with open(os.path.expanduser(path), "wb") as f:
+        f.write(data)
+
+
+def load_checkpoint(path: str, dtype=jnp.float32) -> RubiksNetBundle:
+    with open(os.path.expanduser(path), "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    bundle = create_rubiksnet(
+        tier=payload["tier"],
+        num_classes=int(payload["num_classes"]),
+        num_frames=int(payload["num_frames"]),
+        variant=payload["variant"],
+        dtype=dtype,
+    )
+    variables = serialization.from_state_dict(bundle.variables, payload["variables"])
+    return RubiksNetBundle(model=bundle.model, variables=variables)

@@ -1,0 +1,215 @@
+"""Flax modules for the RubiksNet building blocks.
+
+TPU-first re-design of the reference torch modules:
+  * rubiksnet/shiftlib/rubiks2d/layer.py (RubiksShift2D)
+  * rubiksnet/shiftlib/rubiks3d/layer.py (RubiksShift3D / RubiksShiftBase)
+  * rubiksnet/models.py:128-145 (_Rubiks3DWrap)
+  * rubiksnet/attention_shift.py (AttentionShift)
+  * rubiksnet/backbone.py:56-71 (SELayer)
+
+All modules operate on channel-last clip tensors (N, T, H, W, C). The time
+dimension stays explicit end-to-end (the reference flattens it into the batch
+and reshapes inside the 3D wrapper, models.py:139-145); convolutions and
+batch norm simply treat (N, T) as batch dimensions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import shift2d as s2d
+from ..ops import shift3d as s3d
+from ..ops.attention_shift import attention_shift as _attention_shift_fn
+
+IntPair = Union[int, Sequence[int]]
+
+
+def uniform_shift_init(scale=1.0):
+    """U(-1, 1) shift init (rubiksnet/shiftlib/rubiks3d/layer.py:21-22)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+def group_shift_init(kernel_size: int):
+    """0-FLOP conv-like grid init for 2D shifts
+    (rubiksnet/shiftlib/rubiks2d/layer.py:6-15)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        dim, c = shape
+        assert dim == 2
+        k = kernel_size
+        s = k // 2
+        r = np.arange(-s, s + 1, dtype=np.float64)
+        groups = c // k**2
+        alpha = np.tile(r, k * groups)
+        beta = np.tile(np.repeat(r, k), groups)
+        out = np.zeros((2, c))
+        out[0, : alpha.size] = alpha
+        out[1, : beta.size] = beta
+        return jnp.asarray(out, dtype)
+
+    return init
+
+
+class RubiksShift2D(nn.Module):
+    """Learnable per-channel fractional 2D shift layer.
+
+    Mirrors rubiksnet/shiftlib/rubiks2d/layer.py:18-52. Accepts either
+    (N, H, W, C) or (N, T, H, W, C) input (the extra time dim is folded into
+    the batch, matching how the reference runs 2D shifts on flattened clips).
+    """
+
+    num_channels: int
+    stride: IntPair = 1
+    padding: IntPair = 0
+    normalize_grad: bool = True
+    quantize: bool = False
+    init_shift: str = "uniform"
+
+    def setup(self):
+        if self.init_shift == "uniform":
+            init = uniform_shift_init()
+        elif self.init_shift.startswith("group"):
+            kernel = int(self.init_shift[5:])
+            assert kernel > 1
+            init = group_shift_init(kernel)
+        else:
+            raise NotImplementedError(f"unrecognized init shift {self.init_shift}")
+        self.shift = self.param("shift", init, (2, self.num_channels))
+
+    def __call__(self, x):
+        squeeze = False
+        if x.ndim == 5:
+            n, t, h, w, c = x.shape
+            x = x.reshape(n * t, h, w, c)
+            squeeze = (n, t)
+        out = s2d.rubiks_shift_2d(
+            x,
+            self.shift,
+            stride=self.stride,
+            padding=self.padding,
+            normalize_grad=self.normalize_grad,
+            enable_shift_grad=True,
+            quantize=self.quantize,
+        )
+        if squeeze:
+            n, t = squeeze
+            out = out.reshape(n, t, *out.shape[1:])
+        return out
+
+
+class RubiksShift3D(nn.Module):
+    """Learnable per-channel fractional 3D (T, H, W) shift layer.
+
+    Mirrors rubiksnet/shiftlib/rubiks3d/layer.py:86-107. Input (N, T, H, W, C).
+    """
+
+    num_channels: int
+    stride: IntPair = (1, 1, 1)
+    padding: IntPair = (0, 0, 0)
+    normalize_grad: bool = True
+    normalize_t_factor: Any = 1.0
+    quantize: bool = False
+
+    def setup(self):
+        self.shift = self.param(
+            "shift", uniform_shift_init(), (3, self.num_channels)
+        )
+
+    def __call__(self, x):
+        return s3d.rubiks_shift_3d(
+            x,
+            self.shift,
+            stride=self.stride,
+            padding=self.padding,
+            normalize_grad=self.normalize_grad,
+            normalize_t_factor=self.normalize_t_factor,
+            quantize=self.quantize,
+        )
+
+
+class Rubiks3DWrap(nn.Module):
+    """Wrapper matching _Rubiks3DWrap (rubiksnet/models.py:128-145): a 3D
+    shift with stride (1, s, s) standing in for a 2D shift inside a block.
+    Named child "rubiks3d" so checkpoint paths line up
+    (torch key: ...as3.rubiks3d.shift)."""
+
+    num_channels: int
+    stride: IntPair = 1
+    padding: IntPair = 0
+
+    def setup(self):
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        self.rubiks3d = RubiksShift3D(
+            self.num_channels, stride=(1, sh, sw), padding=(0, ph, pw)
+        )
+
+    def __call__(self, x):
+        return self.rubiks3d(x)
+
+
+def _pair(v):
+    if isinstance(v, int):
+        return (v, v)
+    t = tuple(int(u) for u in v)
+    assert len(t) == 2
+    return t
+
+
+class AttentionShift(nn.Module):
+    """Softmax-attention 3-tap temporal shift (rubiksnet/attention_shift.py).
+
+    The reference creates its (C, 3) weight lazily on first forward with
+    torch.rand (U[0, 1)); here it is an eager parameter with the same init.
+    The temperature is a fixed non-trainable constant (2.0).
+    """
+
+    num_channels: int
+    temperature: float = 2.0
+
+    def setup(self):
+        import jax
+
+        self.weight = self.param(
+            "weight",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype
+            ),
+            (self.num_channels, 3),
+        )
+
+    def __call__(self, x):
+        return _attention_shift_fn(x, self.weight, self.temperature)
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation (rubiksnet/backbone.py:56-71): global average
+    pool over (H, W), two bias-free dense layers, sigmoid gate."""
+
+    channels: int
+    reduction: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, T, H, W, C); pool per frame like the reference (which sees
+        # (N*T, C, H, W)).
+        y = jnp.mean(x, axis=(2, 3))  # (N, T, C)
+        y = nn.Dense(
+            self.channels // self.reduction, use_bias=False, name="fc1",
+            dtype=self.dtype,
+        )(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False, name="fc2", dtype=self.dtype)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, :, None, None, :]

@@ -1,0 +1,244 @@
+"""Learnable fractional 3D shift (RubiksShift3D) — TPU-native implementation.
+
+Reimplements, TPU-first, the behavior of the reference CUDA stack:
+  * forward: cuda_src/rubiks3d_kernels.cu:15-205 (8-corner gather + trilinear
+    interpolation, zero OOB fill, per-channel shifts, strided output grid,
+    quantize mode)
+  * input gradient: cuda_src/rubiks3d_kernels.cu:455-929 (inverse shift of the
+    upstream gradient with stride-divisibility gating)
+  * shift gradient: cuda_src/rubiks3d_kernels.cu:218-452 (plane-difference
+    analytic gradient with the integer-remainder backward-difference
+    correction), followed by summation over (N, T, H, W)
+    (the atomicAdd + addmv_ reduction of cuda_src/rubiks.cpp:324-345 becomes a
+    deterministic jnp.sum) and per-channel unit normalization with the
+    normalize_t_factor semantics (cuda_src/rubiks3d_kernels.cu:932-960).
+
+Everything is expressed through separable per-axis 1D ops (see shift_core.py)
+over a channel-last (N, T, H, W, C) layout so the channel dimension maps onto
+TPU vector lanes.
+
+Gradient semantics note: the reference's normalized shift gradient is NOT the
+true derivative of the forward (it is unit-normalized per channel — a form of
+per-channel sign-SGD), so this op uses jax.custom_vjp rather than autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import shift_core as core
+
+__all__ = [
+    "rubiks_shift_3d",
+    "rubiks_shift_3d_forward",
+    "rubiks_shift_3d_input_grad",
+    "rubiks_shift_3d_shift_grad",
+    "normalize_shift_grad_3d",
+    "compute_output_shape_3d",
+]
+
+# Axis positions in the canonical channel-last video layout (N, T, H, W, C).
+_T_AX, _H_AX, _W_AX = 1, 2, 3
+
+
+def _triple(v):
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(int(u) for u in v)
+    assert len(t) == 3, f"expected 3 entries, got {v}"
+    return t
+
+
+def compute_output_shape_3d(shape, stride, padding):
+    """(N, T, H, W, C) output shape per the truncated formula of
+    rubiksnet/shiftlib/rubiks3d/primitive.py:24-47."""
+    n, t, h, w, c = shape
+    st, sh, sw = _triple(stride)
+    pt, ph, pw = _triple(padding)
+    return (
+        n,
+        core.output_len(t, st, pt),
+        core.output_len(h, sh, ph),
+        core.output_len(w, sw, pw),
+        c,
+    )
+
+
+def rubiks_shift_3d_forward(x, shift, stride=(1, 1, 1), padding=(0, 0, 0), quantize=False):
+    """Pure forward pass (no autodiff rules attached).
+
+    Args:
+      x: (N, T, H, W, C) channel-last video tensor.
+      shift: (3, C) per-channel fractional shifts, rows = (shift_T, shift_H,
+        shift_W) — same parameter layout as the reference
+        (rubiksnet/shiftlib/rubiks3d/layer.py:67).
+      stride/padding: ints or 3-tuples (T, H, W).
+      quantize: round shifts to integers (remainder < 0.5 rounds down,
+        cuda_src/rubiks3d_kernels.cu:76-79) and skip interpolation.
+    """
+    assert x.ndim == 5, "x must be (N, T, H, W, C)"
+    assert shift.shape == (3, x.shape[-1]), (
+        f"shift must be (3, C={x.shape[-1]}), got {shift.shape}"
+    )
+    st, sh, sw = _triple(stride)
+    pt, ph, pw = _triple(padding)
+    shift = shift.astype(x.dtype)
+    # Trilinear interpolation with zero OOB fill is separable: apply the
+    # per-channel 1D fractional shift along T, then H, then W.
+    out = core.frac_shift_axis(x, shift[0], _T_AX, st, pt, quantize)
+    out = core.frac_shift_axis(out, shift[1], _H_AX, sh, ph, quantize)
+    out = core.frac_shift_axis(out, shift[2], _W_AX, sw, pw, quantize)
+    return out
+
+
+def rubiks_shift_3d_input_grad(
+    og, shift, in_shape, stride=(1, 1, 1), padding=(0, 0, 0), quantize=False
+):
+    """Gradient w.r.t. x: inverse shift of the upstream gradient.
+
+    Mirrors cuda_src/rubiks3d_kernels.cu:455-929: negate the shifts, gather
+    from the strided output grid where coordinates are divisible by the
+    stride. Separable per axis like the forward.
+    """
+    st, sh, sw = _triple(stride)
+    pt, ph, pw = _triple(padding)
+    shift = shift.astype(og.dtype)
+    g = core.inverse_shift_axis(og, shift[0], _T_AX, st, pt, in_shape[_T_AX], quantize)
+    g = core.inverse_shift_axis(g, shift[1], _H_AX, sh, ph, in_shape[_H_AX], quantize)
+    g = core.inverse_shift_axis(g, shift[2], _W_AX, sw, pw, in_shape[_W_AX], quantize)
+    return g
+
+
+def rubiks_shift_3d_shift_grad(og, x, shift, stride=(1, 1, 1), padding=(0, 0, 0)):
+    """Raw (un-normalized) gradient w.r.t. the (3, C) shift parameters.
+
+    Implements the plane-difference formulas of
+    cuda_src/rubiks3d_kernels.cu:432-441 with the integer-remainder corrected
+    corners (ibid. 288-298, 357-431). The corrected corner set factors into
+    per-axis "corrected" 1D taps: the small tap moves back one cell whenever
+    that axis' remainder is exactly zero. Writing L'_a for the corrected lerp
+    along axis a and D_a for the corrected difference (large - small taps):
+
+        d out / d shift_T = L'_W(L'_H(D_T(x)))
+        d out / d shift_H = L'_W(D_H(L'_T(x)))
+        d out / d shift_W = D_W(L'_H(L'_T(x)))
+
+    each multiplied by the upstream gradient and summed over (N, T, H, W)
+    (replacing atomicAdd + addmv_, cuda_src/rubiks.cpp:324-345). Note the
+    reference computes shift gradients with these interpolation formulas even
+    in quantize mode (the backward kernel takes no quantize flag).
+    """
+    st, sh, sw = _triple(stride)
+    pt, ph, pw = _triple(padding)
+    shift = shift.astype(x.dtype)
+    to, ho, wo = og.shape[_T_AX], og.shape[_H_AX], og.shape[_W_AX]
+
+    # Per-axis corrected taps of x along T. Shared by L'_T and D_T.
+    at, bt, rt, _ = core.corrected_taps(x, shift[0], _T_AX, st, pt, to)
+    rtb = rt.reshape((1, 1, 1, 1, -1))
+    u = (1 - rtb) * at + rtb * bt  # L'_T(x)
+    v = bt - at  # D_T(x)
+
+    # H-stage taps on u (shared by D_H and L'_H of u) and on v.
+    ah_u, bh_u, rh, _ = core.corrected_taps(u, shift[1], _H_AX, sh, ph, ho)
+    rhb = rh.reshape((1, 1, 1, 1, -1))
+    lh_u = (1 - rhb) * ah_u + rhb * bh_u  # L'_H(L'_T(x))
+    dh_u = bh_u - ah_u  # D_H(L'_T(x))
+    ah_v, bh_v, _, _ = core.corrected_taps(v, shift[1], _H_AX, sh, ph, ho)
+    lh_v = (1 - rhb) * ah_v + rhb * bh_v  # L'_H(D_T(x))
+
+    # W-stage.
+    aw_1, bw_1, rw, _ = core.corrected_taps(lh_v, shift[2], _W_AX, sw, pw, wo)
+    rwb = rw.reshape((1, 1, 1, 1, -1))
+    grad_t_local = (1 - rwb) * aw_1 + rwb * bw_1  # L'_W(L'_H(D_T(x)))
+    aw_2, bw_2, _, _ = core.corrected_taps(dh_u, shift[2], _W_AX, sw, pw, wo)
+    grad_h_local = (1 - rwb) * aw_2 + rwb * bw_2  # L'_W(D_H(L'_T(x)))
+    aw_3, bw_3, _, _ = core.corrected_taps(lh_u, shift[2], _W_AX, sw, pw, wo)
+    grad_w_local = bw_3 - aw_3  # D_W(L'_H(L'_T(x)))
+
+    og32 = og
+    reduce_axes = (0, 1, 2, 3)
+    gt = jnp.sum(og32 * grad_t_local, axis=reduce_axes)
+    gh = jnp.sum(og32 * grad_h_local, axis=reduce_axes)
+    gw = jnp.sum(og32 * grad_w_local, axis=reduce_axes)
+    return jnp.stack([gt, gh, gw], axis=0)  # (3, C)
+
+
+def normalize_shift_grad_3d(shift_grad, normalize_t_factor):
+    """Per-channel unit normalization of the (3, C) shift gradient.
+
+    Matches cuda_src/rubiks3d_kernels.cu:932-960: scale the T gradient by
+    normalize_t_factor then L2-normalize the (T, H, W) triple per channel; if
+    the factor is negative, keep the raw T gradient and zero H/W; channels
+    with zero magnitude pass through unchanged.
+    """
+    f = float(normalize_t_factor)
+    gt, gh, gw = shift_grad[0], shift_grad[1], shift_grad[2]
+    if f < 0:
+        cur_t, cur_h, cur_w = gt, jnp.zeros_like(gh), jnp.zeros_like(gw)
+    else:
+        cur_t, cur_h, cur_w = gt * f, gh, gw
+    mag = jnp.sqrt(cur_t * cur_t + cur_h * cur_h + cur_w * cur_w)
+    safe = jnp.where(mag > 0, mag, jnp.ones_like(mag))
+    out = jnp.stack([cur_t, cur_h, cur_w], axis=0) / safe[None, :]
+    return jnp.where(mag[None, :] > 0, out, jnp.stack([cur_t, cur_h, cur_w], axis=0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _rubiks_shift_3d_core(
+    x, shift, stride, padding, quantize, normalize_grad, normalize_t_factor
+):
+    return rubiks_shift_3d_forward(x, shift, stride, padding, quantize)
+
+
+def _core_fwd(x, shift, stride, padding, quantize, normalize_grad, normalize_t_factor):
+    out = rubiks_shift_3d_forward(x, shift, stride, padding, quantize)
+    return out, (x, shift)
+
+
+def _core_bwd(stride, padding, quantize, normalize_grad, normalize_t_factor, res, og):
+    x, shift = res
+    x_grad = rubiks_shift_3d_input_grad(og, shift, x.shape, stride, padding, quantize)
+    shift_grad = rubiks_shift_3d_shift_grad(og, x, shift, stride, padding)
+    if normalize_grad:
+        shift_grad = normalize_shift_grad_3d(shift_grad, normalize_t_factor)
+    return x_grad, shift_grad.astype(shift.dtype)
+
+
+_rubiks_shift_3d_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rubiks_shift_3d(
+    x,
+    shift,
+    stride=1,
+    padding=0,
+    normalize_grad=True,
+    normalize_t_factor=1.0,
+    quantize=False,
+):
+    """User-facing functional, mirroring the reference signature
+    (rubiksnet/shiftlib/rubiks3d/primitive.py:193-219) on channel-last input.
+
+    Args:
+      x: (N, T, H, W, C).
+      shift: (3, C) learnable shifts.
+      normalize_t_factor: float, or "auto" => T / H (primitive.py:206-211).
+    """
+    assert x.ndim == 5, "x must be (N, T, H, W, C)"
+    if normalize_t_factor == "auto":
+        normalize_t_factor = x.shape[_T_AX] / x.shape[_H_AX]
+    else:
+        assert isinstance(normalize_t_factor, (int, float))
+    return _rubiks_shift_3d_core(
+        x,
+        shift,
+        _triple(stride),
+        _triple(padding),
+        bool(quantize),
+        bool(normalize_grad),
+        float(normalize_t_factor),
+    )
