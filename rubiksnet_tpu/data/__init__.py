@@ -1,0 +1,34 @@
+from .config import return_dataset
+from .dataset import (
+    RubiksDataset,
+    VideoRecord,
+    batch_iterator,
+    parse_list_file,
+    sample_test_indices,
+    sample_train_indices,
+    sample_val_indices,
+)
+from .transforms import (
+    Compose,
+    GroupCenterCrop,
+    GroupFullResSample,
+    GroupMultiScaleCrop,
+    GroupNormalize,
+    GroupOverSample,
+    GroupRandomCrop,
+    GroupRandomHorizontalFlip,
+    GroupRandomSizedCrop,
+    GroupScale,
+    IdentityTransform,
+    Stack,
+    ToClipArray,
+)
+
+__all__ = [
+    "return_dataset", "RubiksDataset", "VideoRecord", "batch_iterator",
+    "parse_list_file", "sample_test_indices", "sample_train_indices",
+    "sample_val_indices", "Compose", "GroupCenterCrop", "GroupFullResSample",
+    "GroupMultiScaleCrop", "GroupNormalize", "GroupOverSample",
+    "GroupRandomCrop", "GroupRandomHorizontalFlip", "GroupRandomSizedCrop",
+    "GroupScale", "IdentityTransform", "Stack", "ToClipArray",
+]

@@ -24,6 +24,7 @@ from .rubiksnet import RubiksNet, RubiksNetBundle, create_rubiksnet
 __all__ = [
     "load_pretrained",
     "convert_torch_state_dict",
+    "export_torch_state_dict",
     "save_checkpoint",
     "load_checkpoint",
 ]
@@ -166,6 +167,76 @@ def load_pretrained(ckpt_path: str, dtype=jnp.float32) -> RubiksNetBundle:
         )
     variables = FrozenDict({"params": params, "batch_stats": stats})
     return RubiksNetBundle(model=bundle.model, variables=variables)
+
+
+def export_torch_state_dict(bundle: RubiksNetBundle) -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict: emit a dict with the reference's
+    torch key names and tensor layouts (OIHW convs, (out,in) linears). Useful
+    for cross-framework checks and for serving our checkpoints to reference
+    users."""
+    variant = bundle.model.variant
+    out: Dict[str, np.ndarray] = {}
+    params = serialization.to_state_dict(bundle.variables["params"])
+    stats = serialization.to_state_dict(bundle.variables.get("batch_stats", {}))
+
+    def emit(tree, stat_tree, prefix):
+        for name, v in tree.items():
+            tkey = name
+            sub_stats = stat_tree.get(name, {}) if isinstance(stat_tree, dict) else {}
+            if isinstance(v, dict):
+                # flax module name layerI_B -> torch layerI.B
+                if name.startswith("layer") and "_" in name:
+                    stage, block = name.split("_", 1)
+                    tkey = f"{stage}.{block}"
+                if name == "aq_shift":
+                    out[prefix + "conv2.0.weight"] = np.asarray(v["weight"])
+                    out[prefix + "conv2.0.T"] = np.asarray(2.0, np.float32)
+                    continue
+                if name == "conv2" and variant == "rubiks3d-aq" and "layer" in prefix:
+                    # inside a block: the conv half of the Sequential
+                    out[prefix + "conv2.1.weight"] = np.asarray(
+                        v["kernel"]
+                    ).transpose(3, 2, 0, 1)
+                    continue
+                if name == "se":
+                    fc = v
+                    out[prefix + "se.fc.0.weight"] = np.asarray(fc["fc1"]["kernel"]).T
+                    out[prefix + "se.fc.2.weight"] = np.asarray(fc["fc2"]["kernel"]).T
+                    continue
+                emit(v, sub_stats, prefix + tkey + ".")
+            else:
+                if name == "kernel":
+                    arr = np.asarray(v)
+                    if arr.ndim == 4:
+                        out[prefix + "weight"] = arr.transpose(3, 2, 0, 1)
+                    else:
+                        out[prefix + "weight"] = arr.T
+                elif name == "scale":
+                    out[prefix + "weight"] = np.asarray(v)
+                elif name in ("bias", "shift"):
+                    out[prefix + name] = np.asarray(v)
+                else:
+                    raise ValueError(f"unexpected leaf {prefix}{name}")
+
+    emit(params, stats, "")
+
+    def emit_stats(tree, prefix):
+        for name, v in tree.items():
+            tkey = name
+            if isinstance(v, dict):
+                if name.startswith("layer") and "_" in name:
+                    stage, block = name.split("_", 1)
+                    tkey = f"{stage}.{block}"
+                emit_stats(v, prefix + tkey + ".")
+            else:
+                if name == "mean":
+                    out[prefix + "running_mean"] = np.asarray(v)
+                elif name == "var":
+                    out[prefix + "running_var"] = np.asarray(v)
+                    out[prefix + "num_batches_tracked"] = np.asarray(0, np.int64)
+
+    emit_stats(stats, "")
+    return out
 
 
 def save_checkpoint(bundle: RubiksNetBundle, path: str):

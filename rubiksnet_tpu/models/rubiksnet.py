@@ -43,6 +43,8 @@ class RubiksNet(nn.Module):
     num_classes: int
     num_frames: int = 8
     variant: str = "rubiks3d"
+    shift_backend: str = "gather"
+    shift_max_shift: int = 4
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -55,6 +57,8 @@ class RubiksNet(nn.Module):
             num_classes=None,
             use_se=use_se,
             variant=self.variant,
+            shift_backend=self.shift_backend,
+            shift_max_shift=self.shift_max_shift,
             dtype=self.dtype,
             name="backbone",
         )
@@ -144,6 +148,8 @@ def create_rubiksnet(
     rng: Optional[jax.Array] = None,
     dtype: Any = jnp.float32,
     input_size: int = INPUT_SIZE,
+    shift_backend: str = "gather",
+    shift_max_shift: int = 4,
 ) -> RubiksNetBundle:
     """Build a randomly initialized RubiksNet (the functional analogue of
     RubiksNet(...) construction in the reference)."""
@@ -153,6 +159,8 @@ def create_rubiksnet(
         num_classes=num_classes,
         num_frames=num_frames,
         variant=variant,
+        shift_backend=shift_backend,
+        shift_max_shift=shift_max_shift,
         dtype=dtype,
     )
     dummy = jnp.zeros((1, num_frames, input_size, input_size, 3), jnp.float32)

@@ -6,6 +6,8 @@ from .layers import (
     SELayer,
     group_shift_init,
     uniform_shift_init,
+    init_shift1d_nfold,
+    create_3d_from_2d,
 )
 from .backbone import RubiksNetBackbone, RubiksShiftBlock
 
@@ -19,4 +21,6 @@ __all__ = [
     "RubiksShiftBlock",
     "group_shift_init",
     "uniform_shift_init",
+    "init_shift1d_nfold",
+    "create_3d_from_2d",
 ]

@@ -58,6 +58,8 @@ class RubiksShiftBlock(nn.Module):
     quantize: bool = False
     normalize_grad: bool = True
     init_shift: str = "uniform"
+    shift_backend: str = "gather"
+    shift_max_shift: int = 4
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -70,7 +72,10 @@ class RubiksShiftBlock(nn.Module):
         )
         self.bn2 = BN(self.dtype, "bn2")
         if self.variant == "rubiks3d":
-            self.as3 = Rubiks3DWrap(mid, stride=self.stride, name="as3")
+            self.as3 = Rubiks3DWrap(
+                mid, stride=self.stride, name="as3",
+                backend=self.shift_backend, max_shift=self.shift_max_shift,
+            )
         elif self.variant == "rubiks3d-aq":
             # AQ: temporal attention shift prepended to conv2
             # (models.py:74-79); the spatial shift stays 2D.
@@ -81,6 +86,8 @@ class RubiksShiftBlock(nn.Module):
                 normalize_grad=self.normalize_grad,
                 quantize=self.quantize,
                 init_shift=self.init_shift,
+                backend=self.shift_backend,
+                max_shift=self.shift_max_shift,
                 name="as3",
             )
         else:
@@ -136,6 +143,8 @@ class RubiksNetBackbone(nn.Module):
     normalize_grad: bool = True
     init_shift: str = "uniform"
     variant: str = "rubiks3d"
+    shift_backend: str = "gather"
+    shift_max_shift: int = 4
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -167,6 +176,8 @@ class RubiksNetBackbone(nn.Module):
                         quantize=self.quantize,
                         normalize_grad=self.normalize_grad,
                         init_shift=self.init_shift,
+                        shift_backend=self.shift_backend,
+                        shift_max_shift=self.shift_max_shift,
                         dtype=self.dtype,
                         name=f"layer{stage_idx}_{b}",
                     )

@@ -60,6 +60,61 @@ def group_shift_init(kernel_size: int):
     return init
 
 
+def init_shift1d_nfold(shift, nfold=8, noise=1e-3, rng=None):
+    """TSM-style hard-coded 1D shift init
+    (rubiksnet/shiftlib/rubiks3d/layer.py:25-40): first 1/nfold of channels
+    shift +1, next 1/nfold shift -1, rest jittered near zero. `shift` is a
+    (1, C) array; returns a new array."""
+    import jax
+
+    dim, channels = shift.shape
+    assert dim == 1, "only works with rubiks1d"
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    group = channels // nfold
+    out = jnp.asarray(shift)
+    out = out.at[:, :group].set(1.0)
+    out = out.at[:, group : 2 * group].set(-1.0)
+    jitter = jax.random.uniform(
+        rng, (1, channels - 2 * group), out.dtype, -noise, noise
+    )
+    return out.at[:, 2 * group :].set(jitter)
+
+
+def create_3d_from_2d(shift_2d, init_mode="tsm", rng=None):
+    """Build a (3, C) 3D shift array from a (2, C) 2D shift, with the
+    temporal row initialized per rubiksnet/shiftlib/rubiks3d/layer.py:110-154
+    (modes: 'tsm', 'tsm-g<STD>', 'uni<MAG>', 'none')."""
+    import jax
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    shift_2d = jnp.asarray(shift_2d)
+    _, c = shift_2d.shape
+    fold = c // 8
+    if init_mode.startswith("tsm-g"):
+        stddev = float(init_mode[5:]) or 1e-2
+        k1, k2, k3 = jax.random.split(rng, 3)
+        t = jnp.concatenate(
+            [
+                1.0 + jax.random.normal(k1, (fold,)) * stddev,
+                -1.0 + jax.random.normal(k2, (fold,)) * stddev,
+                jax.random.normal(k3, (c - 2 * fold,)) * stddev,
+            ]
+        )
+    elif init_mode == "tsm":
+        t = jnp.concatenate(
+            [jnp.ones(fold), -jnp.ones(fold), jnp.zeros(c - 2 * fold)]
+        )
+    elif init_mode.startswith("uni"):
+        magnitude = float(init_mode[3:])
+        assert magnitude > 0, f"uniform random magnitude must > 0: {magnitude}"
+        t = jax.random.uniform(rng, (c,), shift_2d.dtype, -1, 1) * magnitude
+    elif init_mode.lower() == "none":
+        t = jnp.full((c,), jnp.nan)  # must be loaded downstream; NaN safeguard
+    else:
+        raise NotImplementedError(f"unknown init mode {init_mode}")
+    return jnp.concatenate([t[None, :].astype(shift_2d.dtype), shift_2d], axis=0)
+
+
 class RubiksShift2D(nn.Module):
     """Learnable per-channel fractional 2D shift layer.
 
@@ -74,6 +129,8 @@ class RubiksShift2D(nn.Module):
     normalize_grad: bool = True
     quantize: bool = False
     init_shift: str = "uniform"
+    backend: str = "gather"
+    max_shift: int = 4
 
     def setup(self):
         if self.init_shift == "uniform":
@@ -100,6 +157,8 @@ class RubiksShift2D(nn.Module):
             normalize_grad=self.normalize_grad,
             enable_shift_grad=True,
             quantize=self.quantize,
+            backend=self.backend,
+            max_shift=self.max_shift,
         )
         if squeeze:
             n, t = squeeze
@@ -119,6 +178,8 @@ class RubiksShift3D(nn.Module):
     normalize_grad: bool = True
     normalize_t_factor: Any = 1.0
     quantize: bool = False
+    backend: str = "gather"
+    max_shift: int = 4
 
     def setup(self):
         self.shift = self.param(
@@ -134,6 +195,8 @@ class RubiksShift3D(nn.Module):
             normalize_grad=self.normalize_grad,
             normalize_t_factor=self.normalize_t_factor,
             quantize=self.quantize,
+            backend=self.backend,
+            max_shift=self.max_shift,
         )
 
 
@@ -146,12 +209,15 @@ class Rubiks3DWrap(nn.Module):
     num_channels: int
     stride: IntPair = 1
     padding: IntPair = 0
+    backend: str = "gather"
+    max_shift: int = 4
 
     def setup(self):
         sh, sw = _pair(self.stride)
         ph, pw = _pair(self.padding)
         self.rubiks3d = RubiksShift3D(
-            self.num_channels, stride=(1, sh, sw), padding=(0, ph, pw)
+            self.num_channels, stride=(1, sh, sw), padding=(0, ph, pw),
+            backend=self.backend, max_shift=self.max_shift,
         )
 
     def __call__(self, x):

@@ -1,0 +1,178 @@
+"""Fused Pallas TPU kernel for the 3D fractional shift forward pass.
+
+The separable XLA backends (gather / conv / select, see ../shift_core.py,
+../select_backend.py) materialize an intermediate tensor per axis and re-read
+the input once per unrolled tap, so they are HBM-bound at many passes over
+the activation. This kernel performs all three per-axis shifts in one pass:
+
+  HBM -> VMEM:  one DMA per (clip, H-tile) of a (T+2K+1, H-tile+2K+1, W, C)
+                halo window of the zero-padded input
+  VMEM:         T taps, H taps, W taps applied as per-channel weighted sums
+                of statically shifted slices (VPU work at VMEM bandwidth)
+  VMEM -> HBM:  one write of the (T, H-tile, W_out, C) output block
+
+Per-channel tap weights (the same (2K+2, C) one-hot-lerp matrices as the conv
+backend) are computed outside the kernel and live in VMEM.
+
+Supported: stride (1, s, s) with s in {1, 2, ...} equal for H/W, padding 0,
+any dtype, quantize (half-up) — exactly the configurations the RubiksNet
+model uses (rubiksnet/models.py:132-136: stride (1, s, s), padding 0). The
+public op falls back to the select backend for anything else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..conv_backend import _shift_kernel
+from ..shift_core import output_len
+
+# conservative VMEM budget for the input halo buffer
+_VMEM_BUDGET = 9 * 1024 * 1024
+
+
+def _pick_tile(h_out: int, bytes_per_row: int) -> int:
+    """Largest divisor of h_out whose halo buffer fits the VMEM budget."""
+    divisors = sorted(
+        (d for d in range(1, h_out + 1) if h_out % d == 0), reverse=True
+    )
+    for d in divisors:
+        if d <= 64 and (d + 16) * bytes_per_row <= _VMEM_BUDGET:
+            return d
+    return 1
+
+
+def _kernel(
+    wt_ref, wh_ref, ww_ref, xp_ref, out_ref, buf, sem,
+    *, taps, t_out, th, hw_in, wp, w_out, c, s_h, s_w,
+):
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    h0 = hb * th * s_h
+    dma = pltpu.make_async_copy(
+        xp_ref.at[n, :, pl.ds(h0, hw_in), :, :],
+        buf,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    h_span = (th - 1) * s_h + 1
+    w_span = (w_out - 1) * s_w + 1
+
+    def w_at(ref, j):
+        return ref[j, :].reshape(1, 1, c)
+
+    for t in range(t_out):
+        # T stage: rows t..t+taps of the padded T axis
+        a = None
+        for j in range(taps):
+            term = w_at(wt_ref, j) * buf[t + j]
+            a = term if a is None else a + term
+        # H stage
+        b = None
+        for j in range(taps):
+            term = w_at(wh_ref, j) * a[j : j + h_span : s_h]
+            b = term if b is None else b + term
+        # W stage
+        o = None
+        for j in range(taps):
+            term = w_at(ww_ref, j) * b[:, j : j + w_span : s_w]
+            o = term if o is None else o + term
+        out_ref[0, t] = o
+
+
+def fused_shift3d_supported(shape, stride, padding, max_shift) -> bool:
+    st, sh, sw = stride
+    if st != 1 or sh != sw or padding != (0, 0, 0):
+        return False
+    n, t, h, w, c = shape
+    h_out = output_len(h, sh, 0)
+    w_out = output_len(w, sw, 0)
+    k = max_shift
+    # padded extents must cover the input (no negative high padding)
+    if (h_out - 1) * sh + 2 * k + 2 < h + k:
+        return False
+    if (w_out - 1) * sw + 2 * k + 2 < w + k:
+        return False
+    return True
+
+
+def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
+    """Fused forward. Caller must check fused_shift3d_supported first.
+
+    Runs the Pallas kernel in interpret mode off-TPU so tests exercise the
+    same code path on CPU."""
+    st, sh, sw = stride
+    assert st == 1 and sh == sw and padding == (0, 0, 0)
+    n, t_in, h_in, w_in, c = x.shape
+    k = max_shift
+    taps = 2 * k + 2
+    t_out = t_in
+    h_out = output_len(h_in, sh, 0)
+    w_out = output_len(w_in, sw, 0)
+
+    # Mosaic requires 128-aligned lane (channel) extents for sliced DMAs;
+    # pad C up in the same single pad op as the T/H/W halos and slice the
+    # output channels back at the end.
+    cp = -(-c // 128) * 128
+    shift = shift.astype(x.dtype)
+    shift_p = jnp.pad(shift, ((0, 0), (0, cp - c)))
+    wt = _shift_kernel(shift_p[0], x.dtype, k, quantize)  # (taps, Cp)
+    wh = _shift_kernel(shift_p[1], x.dtype, k, quantize)
+    ww = _shift_kernel(shift_p[2], x.dtype, k, quantize)
+
+    tp = t_in + 2 * k + 1
+    hp = (h_out - 1) * sh + 2 * k + 2
+    wp = (w_out - 1) * sw + 2 * k + 2
+    xp = lax.pad(
+        x,
+        jnp.zeros((), x.dtype),
+        [
+            (0, 0, 0),
+            (k, tp - t_in - k, 0),
+            (k, hp - h_in - k, 0),
+            (k, wp - w_in - k, 0),
+            (0, cp - c, 0),
+        ],
+    )
+
+    itemsize = jnp.dtype(x.dtype).itemsize
+    bytes_per_row = tp * wp * cp * itemsize  # per H row of the halo buffer
+    th = _pick_tile(h_out, bytes_per_row)
+    hw_in = (th - 1) * sh + taps
+    n_h = h_out // th
+
+    kernel = functools.partial(
+        _kernel,
+        taps=taps, t_out=t_out, th=th, hw_in=hw_in, wp=wp,
+        w_out=w_out, c=cp, s_h=sh, s_w=sw,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ww
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_out, th, w_out, cp), lambda i, j: (i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, t_out, h_out, w_out, cp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tp, hw_in, wp, cp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(wt, wh, ww, xp)
+    return out[..., :c] if cp != c else out

@@ -1,0 +1,79 @@
+"""Select-unroll backend for the per-axis fractional shift.
+
+out[o, c] = sum_j w[j, c] * x[o*stride - padding + j],  j in [-K, K+1]
+
+with per-channel weights w[j, c] = (1-r_c) [k_c == j] + r_c [k_c + 1 == j]
+(or a one-hot at the rounded position in quantize mode). Implemented as one
+zero-pad followed by 2K+2 statically strided slices combined with per-channel
+scalar weights — no gathers, no index tensors, no convolutions. XLA fuses the
+whole thing into a single VPU pass over the tensor, which is the fastest
+formulation we measured on TPU v5e (the gather backend materializes
+full-tensor int32 index arrays; the depthwise-conv backend lowers poorly for
+3D feature-grouped convs).
+
+Like the conv backend this carries a static |floor(shift)| <= max_shift
+bound; out-of-range shifts contribute zero. See conv_backend.py for the
+validation story.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .shift_core import output_len
+
+DEFAULT_MAX_SHIFT = 4
+
+
+def frac_shift_axis_select(
+    x: jax.Array,
+    shift_c: jax.Array,
+    axis: int,
+    stride: int,
+    padding: int,
+    quantize: bool = False,
+    max_shift: int = DEFAULT_MAX_SHIFT,
+) -> jax.Array:
+    """Select-unroll equivalent of shift_core.frac_shift_axis (half_up
+    quantize semantics). x: channel-last, `axis` in [1, ndim-2]."""
+    ndim = x.ndim
+    d_in = x.shape[axis]
+    d_out = output_len(d_in, stride, padding)
+    k = jnp.floor(shift_c)
+    r = (shift_c - k).astype(x.dtype)
+    ki = k.astype(jnp.int32)
+
+    # Pad so every tap o*stride - padding + j (j in [-K, K+1]) is in bounds:
+    # padded index = o*stride + j + (K) with lo pad = K + padding.
+    lo = max_shift + padding
+    hi_needed = (d_out - 1) * stride + (max_shift + 1) - padding - (d_in - 1)
+    hi = max(hi_needed, 0)
+    pad_cfg = [(0, 0, 0)] * ndim
+    pad_cfg[axis] = (lo, hi, 0)
+    xp = lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
+
+    cshape = (1,) * (ndim - 1) + (-1,)
+
+    def tap(j):
+        start = [0] * ndim
+        limit = list(xp.shape)
+        strides = [1] * ndim
+        start[axis] = j + max_shift
+        limit[axis] = j + max_shift + (d_out - 1) * stride + 1
+        strides[axis] = stride
+        return lax.slice(xp, start, limit, strides)
+
+    out = None
+    for j in range(-max_shift, max_shift + 2):
+        if quantize:
+            q = jnp.where(r < 0.5, ki, ki + 1)
+            w = (q == j).astype(x.dtype)
+        else:
+            w = (ki == j).astype(x.dtype) * (1 - r) + (ki + 1 == j).astype(
+                x.dtype
+            ) * r
+        term = tap(j) * w.reshape(cshape)
+        out = term if out is None else out + term
+    return out

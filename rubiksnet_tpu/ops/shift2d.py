@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from . import shift_core as core
+from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
+from .select_backend import frac_shift_axis_select
 
 __all__ = [
     "rubiks_shift_2d",
@@ -53,13 +55,29 @@ def compute_output_shape_2d(shape, stride, padding):
     return (n, core.output_len(h, sh, ph), core.output_len(w, sw, pw), c)
 
 
-def rubiks_shift_2d_forward(x, shift, stride=(1, 1), padding=(0, 0), quantize=False):
-    """x: (N, H, W, C); shift: (2, C) rows = (shift_H, shift_W)."""
+def rubiks_shift_2d_forward(
+    x, shift, stride=(1, 1), padding=(0, 0), quantize=False,
+    backend="gather", max_shift=DEFAULT_MAX_SHIFT,
+):
+    """x: (N, H, W, C); shift: (2, C) rows = (shift_H, shift_W).
+
+    backend 'conv' uses the depthwise-convolution fast path (see
+    conv_backend.py). 2D quantize always uses the gather backend because its
+    round-half-away-from-zero of (base + shift) is not translation invariant.
+    """
     assert x.ndim == 4, "x must be (N, H, W, C)"
     assert shift.shape == (2, x.shape[-1])
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     shift = shift.astype(x.dtype)
+    if backend == "conv" and not quantize:
+        out = frac_shift_axis_conv(x, shift[0], _H_AX, sh, ph, False, max_shift)
+        out = frac_shift_axis_conv(out, shift[1], _W_AX, sw, pw, False, max_shift)
+        return out
+    if backend == "select" and not quantize:
+        out = frac_shift_axis_select(x, shift[0], _H_AX, sh, ph, False, max_shift)
+        out = frac_shift_axis_select(out, shift[1], _W_AX, sw, pw, False, max_shift)
+        return out
     out = core.frac_shift_axis(x, shift[0], _H_AX, sh, ph, quantize, "half_away")
     out = core.frac_shift_axis(out, shift[1], _W_AX, sw, pw, quantize, "half_away")
     return out
@@ -145,19 +163,26 @@ def normalize_shift_grad_2d(shift_grad):
     return jnp.where(mag[None, :] > 0, shift_grad / safe[None, :], shift_grad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _rubiks_shift_2d_core(
-    x, shift, stride, padding, normalize_grad, enable_shift_grad, quantize
+    x, shift, stride, padding, normalize_grad, enable_shift_grad, quantize,
+    backend, max_shift,
 ):
-    return rubiks_shift_2d_forward(x, shift, stride, padding, quantize)
+    return rubiks_shift_2d_forward(x, shift, stride, padding, quantize, backend, max_shift)
 
 
-def _core_fwd(x, shift, stride, padding, normalize_grad, enable_shift_grad, quantize):
-    out = rubiks_shift_2d_forward(x, shift, stride, padding, quantize)
+def _core_fwd(
+    x, shift, stride, padding, normalize_grad, enable_shift_grad, quantize,
+    backend, max_shift,
+):
+    out = rubiks_shift_2d_forward(x, shift, stride, padding, quantize, backend, max_shift)
     return out, (x, shift)
 
 
-def _core_bwd(stride, padding, normalize_grad, enable_shift_grad, quantize, res, og):
+def _core_bwd(
+    stride, padding, normalize_grad, enable_shift_grad, quantize, backend,
+    max_shift, res, og,
+):
     x, shift = res
     x_grad = rubiks_shift_2d_input_grad(og, shift, x.shape, stride, padding, quantize)
     if enable_shift_grad:
@@ -180,6 +205,8 @@ def rubiks_shift_2d(
     normalize_grad=True,
     enable_shift_grad=True,
     quantize=False,
+    backend="gather",
+    max_shift=DEFAULT_MAX_SHIFT,
 ):
     """User-facing functional, mirroring
     rubiksnet/shiftlib/rubiks2d/primitive.py:178-200 on channel-last input."""
@@ -192,4 +219,6 @@ def rubiks_shift_2d(
         bool(normalize_grad),
         bool(enable_shift_grad),
         bool(quantize),
+        str(backend),
+        int(max_shift),
     )

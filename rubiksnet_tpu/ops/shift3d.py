@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from . import shift_core as core
+from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
+from .select_backend import frac_shift_axis_select
 
 __all__ = [
     "rubiks_shift_3d",
@@ -67,7 +69,15 @@ def compute_output_shape_3d(shape, stride, padding):
     )
 
 
-def rubiks_shift_3d_forward(x, shift, stride=(1, 1, 1), padding=(0, 0, 0), quantize=False):
+def rubiks_shift_3d_forward(
+    x,
+    shift,
+    stride=(1, 1, 1),
+    padding=(0, 0, 0),
+    quantize=False,
+    backend="gather",
+    max_shift=DEFAULT_MAX_SHIFT,
+):
     """Pure forward pass (no autodiff rules attached).
 
     Args:
@@ -78,6 +88,10 @@ def rubiks_shift_3d_forward(x, shift, stride=(1, 1, 1), padding=(0, 0, 0), quant
       stride/padding: ints or 3-tuples (T, H, W).
       quantize: round shifts to integers (remainder < 0.5 rounds down,
         cuda_src/rubiks3d_kernels.cu:76-79) and skip interpolation.
+      backend: 'gather' (exact for any shift magnitude) or 'conv' (depthwise
+        convolution with a static |floor(shift)| <= max_shift bound — the
+        fast TPU path, see conv_backend.py).
+      max_shift: static integer-shift bound for the conv backend.
     """
     assert x.ndim == 5, "x must be (N, T, H, W, C)"
     assert shift.shape == (3, x.shape[-1]), (
@@ -88,9 +102,28 @@ def rubiks_shift_3d_forward(x, shift, stride=(1, 1, 1), padding=(0, 0, 0), quant
     shift = shift.astype(x.dtype)
     # Trilinear interpolation with zero OOB fill is separable: apply the
     # per-channel 1D fractional shift along T, then H, then W.
-    out = core.frac_shift_axis(x, shift[0], _T_AX, st, pt, quantize)
-    out = core.frac_shift_axis(out, shift[1], _H_AX, sh, ph, quantize)
-    out = core.frac_shift_axis(out, shift[2], _W_AX, sw, pw, quantize)
+    if backend == "conv":
+        out = frac_shift_axis_conv(x, shift[0], _T_AX, st, pt, quantize, max_shift)
+        out = frac_shift_axis_conv(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
+        out = frac_shift_axis_conv(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
+    elif backend == "pallas":
+        from .pallas import fused_shift3d_supported, rubiks_shift_3d_fused
+
+        strides, pads = (st, sh, sw), (pt, ph, pw)
+        if fused_shift3d_supported(x.shape, strides, pads, max_shift):
+            return rubiks_shift_3d_fused(x, shift, strides, pads, quantize, max_shift)
+        # unsupported config: fall back to the select backend
+        out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt, quantize, max_shift)
+        out = frac_shift_axis_select(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
+        out = frac_shift_axis_select(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
+    elif backend == "select":
+        out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt, quantize, max_shift)
+        out = frac_shift_axis_select(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
+        out = frac_shift_axis_select(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
+    else:
+        out = core.frac_shift_axis(x, shift[0], _T_AX, st, pt, quantize)
+        out = core.frac_shift_axis(out, shift[1], _H_AX, sh, ph, quantize)
+        out = core.frac_shift_axis(out, shift[2], _W_AX, sw, pw, quantize)
     return out
 
 
@@ -187,19 +220,26 @@ def normalize_shift_grad_3d(shift_grad, normalize_t_factor):
     return jnp.where(mag[None, :] > 0, out, jnp.stack([cur_t, cur_h, cur_w], axis=0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _rubiks_shift_3d_core(
-    x, shift, stride, padding, quantize, normalize_grad, normalize_t_factor
+    x, shift, stride, padding, quantize, normalize_grad, normalize_t_factor,
+    backend, max_shift,
 ):
-    return rubiks_shift_3d_forward(x, shift, stride, padding, quantize)
+    return rubiks_shift_3d_forward(x, shift, stride, padding, quantize, backend, max_shift)
 
 
-def _core_fwd(x, shift, stride, padding, quantize, normalize_grad, normalize_t_factor):
-    out = rubiks_shift_3d_forward(x, shift, stride, padding, quantize)
+def _core_fwd(
+    x, shift, stride, padding, quantize, normalize_grad, normalize_t_factor,
+    backend, max_shift,
+):
+    out = rubiks_shift_3d_forward(x, shift, stride, padding, quantize, backend, max_shift)
     return out, (x, shift)
 
 
-def _core_bwd(stride, padding, quantize, normalize_grad, normalize_t_factor, res, og):
+def _core_bwd(
+    stride, padding, quantize, normalize_grad, normalize_t_factor, backend,
+    max_shift, res, og,
+):
     x, shift = res
     x_grad = rubiks_shift_3d_input_grad(og, shift, x.shape, stride, padding, quantize)
     shift_grad = rubiks_shift_3d_shift_grad(og, x, shift, stride, padding)
@@ -219,6 +259,8 @@ def rubiks_shift_3d(
     normalize_grad=True,
     normalize_t_factor=1.0,
     quantize=False,
+    backend="gather",
+    max_shift=DEFAULT_MAX_SHIFT,
 ):
     """User-facing functional, mirroring the reference signature
     (rubiksnet/shiftlib/rubiks3d/primitive.py:193-219) on channel-last input.
@@ -227,6 +269,7 @@ def rubiks_shift_3d(
       x: (N, T, H, W, C).
       shift: (3, C) learnable shifts.
       normalize_t_factor: float, or "auto" => T / H (primitive.py:206-211).
+      backend/max_shift: forward compute path, see rubiks_shift_3d_forward.
     """
     assert x.ndim == 5, "x must be (N, T, H, W, C)"
     if normalize_t_factor == "auto":
@@ -241,4 +284,6 @@ def rubiks_shift_3d(
         bool(quantize),
         bool(normalize_grad),
         float(normalize_t_factor),
+        str(backend),
+        int(max_shift),
     )

@@ -76,8 +76,9 @@ def make_eval_step(model, num_crops: int = 1):
         logits = model.apply(variables, flat, train=False)
         logits = logits.reshape(n, crops, -1).mean(axis=1)
         top1 = jnp.argmax(logits, axis=-1) == labels
+        k = min(5, logits.shape[-1])
         top5 = jnp.any(
-            jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1
+            jax.lax.top_k(logits, k)[1] == labels[:, None], axis=-1
         )
         return {
             "logits": logits,

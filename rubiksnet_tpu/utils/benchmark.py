@@ -1,0 +1,60 @@
+"""Reliable device timing under async dispatch / tunneled runtimes.
+
+Host-side timing of tunneled TPU runtimes is unreliable: dispatch returns
+early and a device->host fetch carries a large fixed latency. We therefore
+time N on-device iterations chained by a data dependency inside one jitted
+computation (a scalar derived from iteration i's output perturbs iteration
+i+1's input by exactly zero), and difference two iteration counts to cancel
+the fixed dispatch+fetch overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def time_chained(
+    fn: Callable,
+    example_input: jax.Array,
+    n_lo: int = 4,
+    n_hi: int = 20,
+    repeats: int = 2,
+) -> float:
+    """Seconds per fn() application, measured on device.
+
+    fn: input array -> output pytree. Iterations are serialized by adding
+    (0 * first-output-leaf-sum) to the carried input.
+    """
+
+    def chained(n):
+        def body(i, v):
+            out = fn(v)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return v + (leaf.sum() * 0).astype(v.dtype)
+
+        return jax.jit(lambda v: lax.fori_loop(0, n, body, v), static_argnums=())
+
+    f_lo, f_hi = chained(n_lo), chained(n_hi)
+
+    def run(f):
+        r = f(example_input)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0]
+
+    run(f_lo)  # compile both
+    run(f_hi)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(f_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(f_hi)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+    return best

