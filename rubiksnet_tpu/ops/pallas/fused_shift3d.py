@@ -14,10 +14,17 @@ the activation. This kernel performs all three per-axis shifts in one pass:
 Per-channel tap weights (the same (2K+2, C) one-hot-lerp matrices as the conv
 backend) are computed outside the kernel and live in VMEM.
 
-Supported: stride (1, s, s) with s in {1, 2, ...} equal for H/W, padding 0,
-any dtype, quantize (half-up) — exactly the configurations the RubiksNet
-model uses (rubiksnet/models.py:132-136: stride (1, s, s), padding 0). The
-public op falls back to the select backend for anything else.
+Runtime constraints worked around here (observed on TPU v5e):
+  * Mosaic requires 128-aligned lane extents for sliced DMAs -> channels are
+    padded to a 128 multiple inside the same lax.pad as the spatial halos.
+  * Rank-5 refs in manual DMAs fault the TPU worker -> the padded input is
+    reshaped to rank 4 (N*Tp, Hp, Wp, C) and windows are double-sliced on the
+    two leading dims; the output is likewise rank 4 (N*T, H_out, W_out, C).
+
+Supported: stride (1, s, s) with equal H/W stride, padding 0, any dtype,
+quantize (half-up) — exactly the configurations the RubiksNet model uses
+(rubiksnet/models.py:132-136). The public op falls back to the select
+backend for anything else.
 """
 
 from __future__ import annotations
@@ -37,26 +44,27 @@ from ..shift_core import output_len
 _VMEM_BUDGET = 9 * 1024 * 1024
 
 
-def _pick_tile(h_out: int, bytes_per_row: int) -> int:
+def _pick_tile(h_out: int, s_h: int, taps: int, bytes_per_row: int) -> int:
     """Largest divisor of h_out whose halo buffer fits the VMEM budget."""
     divisors = sorted(
         (d for d in range(1, h_out + 1) if h_out % d == 0), reverse=True
     )
     for d in divisors:
-        if d <= 64 and (d + 16) * bytes_per_row <= _VMEM_BUDGET:
+        hw_in = (d - 1) * s_h + taps
+        if d <= 64 and hw_in * bytes_per_row <= _VMEM_BUDGET:
             return d
     return 1
 
 
 def _kernel(
     wt_ref, wh_ref, ww_ref, xp_ref, out_ref, buf, sem,
-    *, taps, t_out, th, hw_in, wp, w_out, c, s_h, s_w,
+    *, taps, t_out, tp, th, hw_in, wp, w_out, c, s_h, s_w,
 ):
     n = pl.program_id(0)
     hb = pl.program_id(1)
     h0 = hb * th * s_h
     dma = pltpu.make_async_copy(
-        xp_ref.at[n, :, pl.ds(h0, hw_in), :, :],
+        xp_ref.at[pl.ds(n * tp, tp), pl.ds(h0, hw_in)],
         buf,
         sem,
     )
@@ -85,7 +93,7 @@ def _kernel(
         for j in range(taps):
             term = w_at(ww_ref, j) * b[:, j : j + w_span : s_w]
             o = term if o is None else o + term
-        out_ref[0, t] = o
+        out_ref[t] = o
 
 
 def fused_shift3d_supported(shape, stride, padding, max_shift) -> bool:
@@ -118,9 +126,7 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     h_out = output_len(h_in, sh, 0)
     w_out = output_len(w_in, sw, 0)
 
-    # Mosaic requires 128-aligned lane (channel) extents for sliced DMAs;
-    # pad C up in the same single pad op as the T/H/W halos and slice the
-    # output channels back at the end.
+    # 128-align the channel (lane) extent inside the same pad op.
     cp = -(-c // 128) * 128
     shift = shift.astype(x.dtype)
     shift_p = jnp.pad(shift, ((0, 0), (0, cp - c)))
@@ -142,16 +148,17 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
             (0, cp - c, 0),
         ],
     )
+    xp4 = xp.reshape(n * tp, hp, wp, cp)  # rank-4 for the windowed DMA
 
     itemsize = jnp.dtype(x.dtype).itemsize
     bytes_per_row = tp * wp * cp * itemsize  # per H row of the halo buffer
-    th = _pick_tile(h_out, bytes_per_row)
+    th = _pick_tile(h_out, sh, taps, bytes_per_row)
     hw_in = (th - 1) * sh + taps
     n_h = h_out // th
 
     kernel = functools.partial(
         _kernel,
-        taps=taps, t_out=t_out, th=th, hw_in=hw_in, wp=wp,
+        taps=taps, t_out=t_out, tp=tp, th=th, hw_in=hw_in, wp=wp,
         w_out=w_out, c=cp, s_h=sh, s_w=sw,
     )
 
@@ -162,17 +169,18 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wt
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ww
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp4 stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, t_out, th, w_out, cp), lambda i, j: (i, 0, j, 0, 0),
+            (t_out, th, w_out, cp), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, t_out, h_out, w_out, cp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n * t_out, h_out, w_out, cp), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((tp, hw_in, wp, cp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=jax.default_backend() != "tpu",
-    )(wt, wh, ww, xp)
+    )(wt, wh, ww, xp4)
+    out = out.reshape(n, t_out, h_out, w_out, cp)
     return out[..., :c] if cp != c else out

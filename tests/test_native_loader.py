@@ -1,0 +1,66 @@
+"""Native (C++/libjpeg) loader vs. the PIL reference path."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rubiksnet_tpu.data import native_loader
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native loader not built"
+)
+
+
+@pytest.fixture(scope="module")
+def jpeg(tmp_path_factory):
+    path = tmp_path_factory.mktemp("frames") / "f.jpg"
+    arr = (np.random.RandomState(0).rand(240, 320, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path, quality=95)
+    return str(path)
+
+
+def _pil_reference(path, scale, crop):
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if w < h:
+        ow, oh = scale, int(scale * h / w)
+    else:
+        oh, ow = scale, int(scale * w / h)
+    img = img.resize((ow, oh), Image.BILINEAR)
+    x1 = int(round((ow - crop) / 2.0))
+    y1 = int(round((oh - crop) / 2.0))
+    return np.asarray(img.crop((x1, y1, x1 + crop, y1 + crop)))
+
+
+def test_decode_matches_pil_within_rounding(jpeg):
+    got = native_loader.decode_frame_u8(jpeg, 256, 224)
+    ref = _pil_reference(jpeg, 256, 224)
+    assert got.shape == ref.shape == (224, 224, 3)
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    # triangle-filter resize matches PIL bilinear to rounding error
+    assert diff.max() <= 2 and diff.mean() < 0.5
+
+
+def test_batch_load_normalized(jpeg):
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    out = native_loader.load_frames([jpeg] * 6, 256, 224, mean, std)
+    assert out.shape == (6, 224, 224, 3) and out.dtype == np.float32
+    ref = (_pil_reference(jpeg, 256, 224) / 255.0 - np.asarray(mean)) / np.asarray(std)
+    assert np.abs(out[0] - ref).max() < 0.02  # ±1 uint8 of rounding
+    np.testing.assert_array_equal(out[0], out[5])
+
+
+def test_explicit_crop_offsets(jpeg):
+    out = native_loader.load_frames(
+        [jpeg] * 3, 256, 224, (0, 0, 0), (1, 1, 1),
+        crop_offsets=[(0, 0), (0, 0), (40, 8)],
+    )
+    np.testing.assert_array_equal(out[0], out[1])
+    assert np.abs(out[0] - out[2]).max() > 0
+
+
+def test_missing_file_reports_failure(jpeg):
+    with pytest.raises(IOError):
+        native_loader.load_frames(
+            ["/nonexistent/frame.jpg"], 256, 224, (0, 0, 0), (1, 1, 1)
+        )
