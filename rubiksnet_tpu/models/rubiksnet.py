@@ -122,14 +122,14 @@ class RubiksNetBundle:
             num_classes=num_classes,
             num_frames=self.model.num_frames,
             variant=self.model.variant,
+            shift_backend=self.model.shift_backend,
+            shift_max_shift=self.model.shift_max_shift,
             dtype=self.model.dtype,
         )
-        k1, k2 = jax.random.split(rng)
-        feat = self.model.feature_dim if hasattr(self.model, "feature_dim") else None
         feature_dim = 8 * TIERS[self.model.tier][0]
         new_head = {
             "kernel": nn.initializers.lecun_normal()(
-                k1, (feature_dim, num_classes), jnp.float32
+                rng, (feature_dim, num_classes), jnp.float32
             ),
             "bias": jnp.zeros((num_classes,), jnp.float32),
         }

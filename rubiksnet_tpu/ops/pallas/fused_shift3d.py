@@ -5,21 +5,28 @@ The separable XLA backends (gather / conv / select, see ../shift_core.py,
 the input once per unrolled tap, so they are HBM-bound at many passes over
 the activation. This kernel performs all three per-axis shifts in one pass:
 
-  HBM -> VMEM:  one DMA per (clip, H-tile) of a (T+2K+1, H-tile+2K+1, W, C)
-                halo window of the zero-padded input
+  HBM -> VMEM:  one contiguous DMA per (clip, H-tile) of a halo window of the
+                padded input
   VMEM:         T taps, H taps, W taps applied as per-channel weighted sums
-                of statically shifted slices (VPU work at VMEM bandwidth)
-  VMEM -> HBM:  one write of the (T, H-tile, W_out, C) output block
+                of statically (strided-)shifted slices — VPU work at VMEM
+                bandwidth
+  VMEM -> HBM:  one write of the output tile
 
 Per-channel tap weights (the same (2K+2, C) one-hot-lerp matrices as the conv
 backend) are computed outside the kernel and live in VMEM.
 
-Runtime constraints worked around here (observed on TPU v5e):
-  * Mosaic requires 128-aligned lane extents for sliced DMAs -> channels are
-    padded to a 128 multiple inside the same lax.pad as the spatial halos.
-  * Rank-5 refs in manual DMAs fault the TPU worker -> the padded input is
-    reshaped to rank 4 (N*Tp, Hp, Wp, C) and windows are double-sliced on the
-    two leading dims; the output is likewise rank 4 (N*T, H_out, W_out, C).
+The axon/Mosaic runtime on this v5e faults the TPU worker for several
+otherwise-legal constructs (established by bisection): sliced DMAs with
+non-128-aligned lane extents, non-contiguous (multi-dim-sliced or rank>4)
+manual DMAs, multi-dim-partitioned output BlockSpecs, and 2-D grids combined
+with manual DMA. The kernel therefore works entirely in rank-3:
+
+  * padded input laid out H-major and flattened to (N*Hp*Tp, Wp, Cp): an
+    (n, H-tile) halo window is a single contiguous row-range;
+  * all VMEM buffers and slices are rank-3; T-tap and output-interleave
+    access is expressed as static strided row slices;
+  * output written as (N*H_out*T_out, W_out, Cp) blocks partitioned along
+    rows only, grid 1-D; reshaped/transposed back to (N, T, H, W, C) outside.
 
 Supported: stride (1, s, s) with equal H/W stride, padding 0, any dtype,
 quantize (half-up) — exactly the configurations the RubiksNet model uses
@@ -40,31 +47,34 @@ from jax.experimental.pallas import tpu as pltpu
 from ..conv_backend import _shift_kernel
 from ..shift_core import output_len
 
-# conservative VMEM budget for the input halo buffer
-_VMEM_BUDGET = 9 * 1024 * 1024
+# conservative VMEM budget for the input halo buffer + output block
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_tile(h_out: int, s_h: int, taps: int, bytes_per_row: int) -> int:
-    """Largest divisor of h_out whose halo buffer fits the VMEM budget."""
+def _pick_tile(h_out: int, s_h: int, taps: int, tp: int, bytes_per_row: int,
+               out_bytes_per_row: int) -> int:
+    """Largest divisor of h_out whose buffers fit the VMEM budget."""
     divisors = sorted(
         (d for d in range(1, h_out + 1) if h_out % d == 0), reverse=True
     )
     for d in divisors:
         hw_in = (d - 1) * s_h + taps
-        if d <= 64 and hw_in * bytes_per_row <= _VMEM_BUDGET:
+        need = hw_in * tp * bytes_per_row + 2 * d * out_bytes_per_row
+        if need <= _VMEM_BUDGET:
             return d
     return 1
 
 
 def _kernel(
     wt_ref, wh_ref, ww_ref, xp_ref, out_ref, buf, sem,
-    *, taps, t_out, tp, th, hw_in, wp, w_out, c, s_h, s_w,
+    *, taps, t_out, hp, tp, th, hw_in, wp, w_out, c, s_h, s_w, n_h,
 ):
-    n = pl.program_id(0)
-    hb = pl.program_id(1)
-    h0 = hb * th * s_h
+    g = pl.program_id(0)
+    n = g // n_h
+    hb = g % n_h
+    row0 = (n * hp + hb * th * s_h) * tp
     dma = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(n * tp, tp), pl.ds(h0, hw_in)],
+        xp_ref.at[pl.ds(row0, hw_in * tp)],  # one contiguous row range
         buf,
         sem,
     )
@@ -78,22 +88,25 @@ def _kernel(
         return ref[j, :].reshape(1, 1, c)
 
     for t in range(t_out):
-        # T stage: rows t..t+taps of the padded T axis
+        # T stage: buffer rows are (h, t') interleaved with period tp;
+        # tap j of output frame t lives at rows (t + j) :: tp.
         a = None
         for j in range(taps):
-            term = w_at(wt_ref, j) * buf[t + j]
+            rows = buf[t + j : t + j + (hw_in - 1) * tp + 1 : tp]
+            term = w_at(wt_ref, j) * rows
             a = term if a is None else a + term
-        # H stage
+        # H stage: strided window over the halo rows.
         b = None
         for j in range(taps):
             term = w_at(wh_ref, j) * a[j : j + h_span : s_h]
             b = term if b is None else b + term
-        # W stage
+        # W stage.
         o = None
         for j in range(taps):
             term = w_at(ww_ref, j) * b[:, j : j + w_span : s_w]
             o = term if o is None else o + term
-        out_ref[t] = o
+        # Output rows are (h, t) interleaved with period t_out.
+        out_ref[t : t + (th - 1) * t_out + 1 : t_out] = o
 
 
 def fused_shift3d_supported(shape, stride, padding, max_shift) -> bool:
@@ -137,50 +150,56 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     tp = t_in + 2 * k + 1
     hp = (h_out - 1) * sh + 2 * k + 2
     wp = (w_out - 1) * sw + 2 * k + 2
+    # H-major padded layout (N, Hp, Tp, Wp, Cp), flattened to rank 3.
+    xt = jnp.transpose(x, (0, 2, 1, 3, 4))  # (N, H, T, W, C)
     xp = lax.pad(
-        x,
+        xt,
         jnp.zeros((), x.dtype),
         [
             (0, 0, 0),
-            (k, tp - t_in - k, 0),
             (k, hp - h_in - k, 0),
+            (k, tp - t_in - k, 0),
             (k, wp - w_in - k, 0),
             (0, cp - c, 0),
         ],
     )
-    xp4 = xp.reshape(n * tp, hp, wp, cp)  # rank-4 for the windowed DMA
+    xp3 = xp.reshape(n * hp * tp, wp, cp)
 
     itemsize = jnp.dtype(x.dtype).itemsize
-    bytes_per_row = tp * wp * cp * itemsize  # per H row of the halo buffer
-    th = _pick_tile(h_out, sh, taps, bytes_per_row)
+    bytes_per_row = wp * cp * itemsize
+    out_bytes_per_row = t_out * w_out * cp * itemsize
+    th = _pick_tile(h_out, sh, taps, tp, bytes_per_row, out_bytes_per_row)
     hw_in = (th - 1) * sh + taps
     n_h = h_out // th
 
     kernel = functools.partial(
         _kernel,
-        taps=taps, t_out=t_out, tp=tp, th=th, hw_in=hw_in, wp=wp,
-        w_out=w_out, c=cp, s_h=sh, s_w=sw,
+        taps=taps, t_out=t_out, hp=hp, tp=tp, th=th, hw_in=hw_in, wp=wp,
+        w_out=w_out, c=cp, s_h=sh, s_w=sw, n_h=n_h,
     )
 
     out = pl.pallas_call(
         kernel,
-        grid=(n, n_h),
+        grid=(n * n_h,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wt
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ww
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp4 stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp3 stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (t_out, th, w_out, cp), lambda i, j: (i, j, 0, 0),
+            (th * t_out, w_out, cp), lambda g: (g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n * t_out, h_out, w_out, cp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n * h_out * t_out, w_out, cp), x.dtype
+        ),
         scratch_shapes=[
-            pltpu.VMEM((tp, hw_in, wp, cp), x.dtype),
+            pltpu.VMEM((hw_in * tp, wp, cp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=jax.default_backend() != "tpu",
-    )(wt, wh, ww, xp4)
-    out = out.reshape(n, t_out, h_out, w_out, cp)
+    )(wt, wh, ww, xp3)
+    out = out.reshape(n, h_out, t_out, w_out, cp)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4))
     return out[..., :c] if cp != c else out

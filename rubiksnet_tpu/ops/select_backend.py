@@ -27,6 +27,63 @@ from .shift_core import output_len
 DEFAULT_MAX_SHIFT = 4
 
 
+def inverse_shift_axis_select(
+    og: jax.Array,
+    shift_c: jax.Array,
+    axis: int,
+    stride: int,
+    padding: int,
+    d_in: int,
+    quantize: bool = False,
+    max_shift: int = DEFAULT_MAX_SHIFT,
+) -> jax.Array:
+    """Select-unroll equivalent of shift_core.inverse_shift_axis (half-up
+    quantize semantics only).
+
+    The stride-divisibility gating of the reference input-gradient kernels
+    (cuda_src/rubiks3d_kernels.cu:586+) is obtained for free by interleaving
+    stride-1 zeros into the upstream gradient — done with interior dilation in
+    the same lax.pad as the halo padding — after which the inverse shift is a
+    plain per-channel tap sum over statically shifted slices.
+    """
+    ndim = og.ndim
+    d_out = og.shape[axis]
+    k_pad = max_shift
+    neg = -shift_c
+    kf = jnp.floor(neg)
+    r = (neg - kf).astype(og.dtype)
+    ki = kf.astype(jnp.int32)
+
+    # dilated length (d_out-1)*stride + 1, plus lo/hi halo zeros
+    dil_len = (d_out - 1) * stride + 1
+    hi_needed = (d_in - 1) + padding + 2 * k_pad + 1 - (dil_len - 1) - k_pad
+    pad_cfg = [(0, 0, 0)] * ndim
+    pad_cfg[axis] = (k_pad, max(hi_needed, 0), stride - 1)
+    ogp = lax.pad(og, jnp.zeros((), og.dtype), pad_cfg)
+
+    cshape = (1,) * (ndim - 1) + (-1,)
+
+    def tap(j):
+        start = [0] * ndim
+        limit = list(ogp.shape)
+        start[axis] = padding + j + k_pad
+        limit[axis] = padding + j + k_pad + d_in
+        return lax.slice(ogp, start, limit)
+
+    out = None
+    for j in range(-max_shift, max_shift + 2):
+        if quantize:
+            q = jnp.where(r < 0.5, ki, ki + 1)
+            w = (q == j).astype(og.dtype)
+        else:
+            w = (ki == j).astype(og.dtype) * (1 - r) + (ki + 1 == j).astype(
+                og.dtype
+            ) * r
+        term = tap(j) * w.reshape(cshape)
+        out = term if out is None else out + term
+    return out
+
+
 def frac_shift_axis_select(
     x: jax.Array,
     shift_c: jax.Array,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from . import shift_core as core
 from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
-from .select_backend import frac_shift_axis_select
+from .select_backend import frac_shift_axis_select, inverse_shift_axis_select
 
 __all__ = [
     "rubiks_shift_2d",
@@ -84,11 +84,19 @@ def rubiks_shift_2d_forward(
 
 
 def rubiks_shift_2d_input_grad(
-    og, shift, in_shape, stride=(1, 1), padding=(0, 0), quantize=False
+    og, shift, in_shape, stride=(1, 1), padding=(0, 0), quantize=False,
+    backend="gather", max_shift=DEFAULT_MAX_SHIFT,
 ):
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     shift = shift.astype(og.dtype)
+    if backend != "gather" and not quantize:
+        # (2D quantize uses round-half-away semantics -> gather only)
+        g = inverse_shift_axis_select(
+            og, shift[0], _H_AX, sh, ph, in_shape[_H_AX], False, max_shift)
+        g = inverse_shift_axis_select(
+            g, shift[1], _W_AX, sw, pw, in_shape[_W_AX], False, max_shift)
+        return g
     g = core.inverse_shift_axis(
         og, shift[0], _H_AX, sh, ph, in_shape[_H_AX], quantize, "half_away"
     )
@@ -184,7 +192,9 @@ def _core_bwd(
     max_shift, res, og,
 ):
     x, shift = res
-    x_grad = rubiks_shift_2d_input_grad(og, shift, x.shape, stride, padding, quantize)
+    x_grad = rubiks_shift_2d_input_grad(
+        og, shift, x.shape, stride, padding, quantize, backend, max_shift
+    )
     if enable_shift_grad:
         shift_grad = rubiks_shift_2d_shift_grad(og, x, shift, stride, padding)
         if normalize_grad:

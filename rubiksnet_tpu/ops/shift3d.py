@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from . import shift_core as core
 from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
-from .select_backend import frac_shift_axis_select
+from .select_backend import frac_shift_axis_select, inverse_shift_axis_select
 
 __all__ = [
     "rubiks_shift_3d",
@@ -128,17 +128,27 @@ def rubiks_shift_3d_forward(
 
 
 def rubiks_shift_3d_input_grad(
-    og, shift, in_shape, stride=(1, 1, 1), padding=(0, 0, 0), quantize=False
+    og, shift, in_shape, stride=(1, 1, 1), padding=(0, 0, 0), quantize=False,
+    backend="gather", max_shift=DEFAULT_MAX_SHIFT,
 ):
     """Gradient w.r.t. x: inverse shift of the upstream gradient.
 
     Mirrors cuda_src/rubiks3d_kernels.cu:455-929: negate the shifts, gather
     from the strided output grid where coordinates are divisible by the
-    stride. Separable per axis like the forward.
+    stride. Separable per axis like the forward. Non-gather backends use the
+    dilated select-unroll formulation (select_backend.py).
     """
     st, sh, sw = _triple(stride)
     pt, ph, pw = _triple(padding)
     shift = shift.astype(og.dtype)
+    if backend != "gather":
+        g = inverse_shift_axis_select(
+            og, shift[0], _T_AX, st, pt, in_shape[_T_AX], quantize, max_shift)
+        g = inverse_shift_axis_select(
+            g, shift[1], _H_AX, sh, ph, in_shape[_H_AX], quantize, max_shift)
+        g = inverse_shift_axis_select(
+            g, shift[2], _W_AX, sw, pw, in_shape[_W_AX], quantize, max_shift)
+        return g
     g = core.inverse_shift_axis(og, shift[0], _T_AX, st, pt, in_shape[_T_AX], quantize)
     g = core.inverse_shift_axis(g, shift[1], _H_AX, sh, ph, in_shape[_H_AX], quantize)
     g = core.inverse_shift_axis(g, shift[2], _W_AX, sw, pw, in_shape[_W_AX], quantize)
@@ -241,7 +251,9 @@ def _core_bwd(
     max_shift, res, og,
 ):
     x, shift = res
-    x_grad = rubiks_shift_3d_input_grad(og, shift, x.shape, stride, padding, quantize)
+    x_grad = rubiks_shift_3d_input_grad(
+        og, shift, x.shape, stride, padding, quantize, backend, max_shift
+    )
     shift_grad = rubiks_shift_3d_shift_grad(og, x, shift, stride, padding)
     if normalize_grad:
         shift_grad = normalize_shift_grad_3d(shift_grad, normalize_t_factor)

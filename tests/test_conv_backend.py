@@ -72,3 +72,26 @@ def test_conv_backend_vjp_matches():
     gx_c, gs_c = loss("conv")
     np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_g), atol=1e-12)
     np.testing.assert_allclose(np.asarray(gs_c), np.asarray(gs_g), atol=1e-12)
+
+
+@pytest.mark.parametrize("case", CASES_3D)
+def test_select_inverse_shift_matches_gather(case):
+    """The dilated select-unroll input gradient must match the gather path."""
+    from rubiksnet_tpu.ops.shift3d import (
+        compute_output_shape_3d,
+        rubiks_shift_3d_input_grad,
+    )
+
+    in_shape = (2, 4, 6, 7, 8)
+    out_shape = compute_output_shape_3d(in_shape, case["stride"], case["padding"])
+    og = jnp.asarray(RNG.randn(*out_shape), jnp.float64)
+    shift = jnp.asarray(RNG.uniform(-3.5, 3.5, (3, 8)), jnp.float64)
+    ref = rubiks_shift_3d_input_grad(
+        og, shift, in_shape, case["stride"], case["padding"], case["quantize"],
+        "gather",
+    )
+    got = rubiks_shift_3d_input_grad(
+        og, shift, in_shape, case["stride"], case["padding"], case["quantize"],
+        "select", 4,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)

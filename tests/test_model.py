@@ -133,3 +133,15 @@ def test_torch_converter_roundtrip_se():
     params, _ = convert_torch_state_dict(sd, "rubiks3d")
     ref_params = serialization.to_state_dict(b.variables["params"])
     _check_compatible(ref_params, params, "params")
+
+
+def test_replace_new_fc():
+    b = create_rubiksnet("tiny", num_classes=6, num_frames=2, input_size=32)
+    b2 = b.replace_new_fc(11)
+    video = jnp.asarray(np.random.RandomState(5).randn(1, 2, 32, 32, 3), jnp.float32)
+    logits = b2(video)
+    assert logits.shape == (1, 11)
+    # backbone weights unchanged
+    a = jax.tree_util.tree_leaves(b.variables["params"]["backbone"])[0]
+    c = jax.tree_util.tree_leaves(b2.variables["params"]["backbone"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
