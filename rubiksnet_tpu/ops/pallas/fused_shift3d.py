@@ -139,8 +139,11 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     h_out = output_len(h_in, sh, 0)
     w_out = output_len(w_in, sw, 0)
 
-    # 128-align the channel (lane) extent inside the same pad op.
+    # 128-align the channel (lane) extent inside the same pad op; the
+    # sublane (W) extents of all DMA'd buffers must be aligned to the dtype
+    # tile (8 for f32, 16 for bf16) or the runtime faults.
     cp = -(-c // 128) * 128
+    sub = 16 if jnp.dtype(x.dtype).itemsize == 2 else 8
     shift = shift.astype(x.dtype)
     shift_p = jnp.pad(shift, ((0, 0), (0, cp - c)))
     wt = _shift_kernel(shift_p[0], x.dtype, k, quantize)  # (taps, Cp)
@@ -149,7 +152,9 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
 
     tp = t_in + 2 * k + 1
     hp = (h_out - 1) * sh + 2 * k + 2
-    wp = (w_out - 1) * sw + 2 * k + 2
+    w_out_p = -(-w_out // sub) * sub  # sublane-aligned output W
+    wp = (w_out_p - 1) * sw + 2 * k + 2
+    wp = -(-wp // sub) * sub
     # H-major padded layout (N, Hp, Tp, Wp, Cp), flattened to rank 3.
     xt = jnp.transpose(x, (0, 2, 1, 3, 4))  # (N, H, T, W, C)
     xp = lax.pad(
@@ -175,7 +180,7 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     kernel = functools.partial(
         _kernel,
         taps=taps, t_out=t_out, hp=hp, tp=tp, th=th, hw_in=hw_in, wp=wp,
-        w_out=w_out, c=cp, s_h=sh, s_w=sw, n_h=n_h,
+        w_out=w_out_p, c=cp, s_h=sh, s_w=sw, n_h=n_h,
     )
 
     out = pl.pallas_call(
@@ -188,11 +193,11 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
             pl.BlockSpec(memory_space=pltpu.ANY),  # xp3 stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (th * t_out, w_out, cp), lambda g: (g, 0, 0),
+            (th * t_out, w_out_p, cp), lambda g: (g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n * h_out * t_out, w_out, cp), x.dtype
+            (n * h_out * t_out, w_out_p, cp), x.dtype
         ),
         scratch_shapes=[
             pltpu.VMEM((hw_in * tp, wp, cp), x.dtype),
@@ -200,6 +205,6 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
         ],
         interpret=jax.default_backend() != "tpu",
     )(wt, wh, ww, xp3)
-    out = out.reshape(n, h_out, t_out, w_out, cp)
+    out = out.reshape(n, h_out, t_out, w_out_p, cp)
     out = jnp.transpose(out, (0, 2, 1, 3, 4))
-    return out[..., :c] if cp != c else out
+    return out[:, :, :, :w_out, :c]
