@@ -109,6 +109,9 @@ def frac_shift_axis_conv(
         dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
         feature_group_count=c,
         preferred_element_type=x.dtype,
+        # TPU's default conv precision computes f32 in bf16 passes; the shift
+        # must be numerically exact for eval parity.
+        precision=lax.Precision.HIGHEST,
     )
     assert out.shape[axis] == d_out, (out.shape, axis, d_out)
     return out
