@@ -29,6 +29,7 @@ def main():
                    choices=["pallas", "conv", "select", "gather"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--mode", default="infer", choices=["infer", "train"])
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -49,6 +50,69 @@ def main():
 
     device = jax.devices()[0]
     variables = jax.device_put(bundle.variables, device)
+
+    if args.mode == "train":
+        from rubiksnet_tpu.train import (
+            create_train_state, make_train_step, sgd_with_shift_mult,
+        )
+        import time as _time
+        from jax import lax
+
+        tx = sgd_with_shift_mult(1e-3, 0.1)
+        state0 = jax.device_put(create_train_state(bundle, tx), device)
+        step = make_train_step(bundle.model, tx)
+        results = {}
+        best, best_bs = 0.0, None
+        for bs in args.batch_sizes:
+            video = jax.device_put(
+                jnp.asarray(
+                    np.random.RandomState(0).randn(
+                        bs, args.frames, args.size, args.size, 3
+                    ),
+                    jnp.float32,
+                ),
+                device,
+            )
+            labels = jax.device_put(
+                jnp.asarray(np.arange(bs) % 174, jnp.int32), device
+            )
+
+            def chained(n):
+                return jax.jit(
+                    lambda s: lax.fori_loop(
+                        0, n, lambda i, st: step(st, video, labels)[0], s
+                    )
+                )
+
+            f_lo, f_hi = chained(args.warmup), chained(args.iters)
+
+            def run(f):
+                st = f(state0)
+                _ = np.asarray(jax.tree_util.tree_leaves(st.params)[0]).ravel()[0]
+
+            run(f_lo); run(f_hi)
+            t0 = _time.perf_counter(); run(f_lo); t_lo = _time.perf_counter() - t0
+            t0 = _time.perf_counter(); run(f_hi); t_hi = _time.perf_counter() - t0
+            dt = (t_hi - t_lo) / (args.iters - args.warmup)
+            results[bs] = bs / dt
+            if results[bs] > best:
+                best, best_bs = results[bs], bs
+        print(
+            json.dumps(
+                {
+                    "metric": f"train clips/sec/chip RubiksNet-{args.tier.capitalize()} "
+                    f"{args.frames}-frame {args.size}px {args.backend}-backend",
+                    "value": round(best, 2),
+                    "unit": "clips/s",
+                    "vs_baseline": None,
+                    "detail": {
+                        "batch_sweep": {str(k): round(v, 2) for k, v in results.items()},
+                        "best_batch": best_bs,
+                    },
+                }
+            )
+        )
+        return
 
     def forward(video):
         return bundle.model.apply(variables, video, train=False)

@@ -110,8 +110,14 @@ def frac_shift_axis_conv(
         feature_group_count=c,
         preferred_element_type=x.dtype,
         # TPU's default conv precision computes f32 in bf16 passes; the shift
-        # must be numerically exact for eval parity.
-        precision=lax.Precision.HIGHEST,
+        # must be numerically exact for f32 eval parity. For bf16 inputs the
+        # default single-pass precision is already exact in-type (HIGHEST
+        # would force slow multi-pass f32 emulation).
+        precision=(
+            lax.Precision.HIGHEST
+            if jnp.dtype(x.dtype).itemsize >= 4
+            else lax.Precision.DEFAULT
+        ),
     )
     assert out.shape[axis] == d_out, (out.shape, axis, d_out)
     return out
