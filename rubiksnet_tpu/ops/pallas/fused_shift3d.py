@@ -5,33 +5,32 @@ The separable XLA backends (gather / conv / select, see ../shift_core.py,
 the input once per unrolled tap, so they are HBM-bound at many passes over
 the activation. This kernel performs all three per-axis shifts in one pass:
 
-  HBM -> VMEM:  one contiguous DMA per (clip, H-tile) of a halo window of the
-                padded input
+  HBM -> VMEM:  T+2K+1 contiguous row-range DMAs per (clip, H-tile), loading
+                a (T-halo x H-halo x W x C) window of the padded input
   VMEM:         T taps, H taps, W taps applied as per-channel weighted sums
-                of statically (strided-)shifted slices — VPU work at VMEM
-                bandwidth
-  VMEM -> HBM:  one write of the output tile
+                of statically shifted slices (VPU work at VMEM bandwidth)
+  VMEM -> HBM:  one contiguous write of the output tile
 
 Per-channel tap weights (the same (2K+2, C) one-hot-lerp matrices as the conv
 backend) are computed outside the kernel and live in VMEM.
 
-The axon/Mosaic runtime on this v5e faults the TPU worker for several
-otherwise-legal constructs (established by bisection): sliced DMAs with
-non-128-aligned lane extents, non-contiguous (multi-dim-sliced or rank>4)
-manual DMAs, multi-dim-partitioned output BlockSpecs, and 2-D grids combined
-with manual DMA. The kernel therefore works entirely in rank-3:
+Mosaic/axon runtime constraints dictated the structure (violations either
+fault the TPU worker or fail compilation; established by bisection on v5e):
+  * DMA'd buffers need 128-aligned lane and 8/16-aligned sublane extents;
+  * manual DMAs must be contiguous row ranges of a rank-3 ref;
+  * output BlockSpecs partitioned along a single dim only, 1-D grid;
+  * 16-bit (bf16) strided vector loads/stores are unimplemented, so every
+    in-kernel slice must be contiguous for bf16: the halo buffer is laid out
+    in (t', h) blocks (one contiguous DMA per padded frame) making T taps
+    block slices and H/W taps stride-1 slices; output tile rows are ordered
+    (t, h) so writes are contiguous. Spatially strided (s=2) configs use
+    strided slices and are therefore supported only for 32-bit dtypes —
+    the public op falls back to the select backend otherwise (only 5 of the
+    83 shift layers in RubiksNet-Large are strided).
 
-  * padded input laid out H-major and flattened to (N*Hp*Tp, Wp, Cp): an
-    (n, H-tile) halo window is a single contiguous row-range;
-  * all VMEM buffers and slices are rank-3; T-tap and output-interleave
-    access is expressed as static strided row slices;
-  * output written as (N*H_out*T_out, W_out, Cp) blocks partitioned along
-    rows only, grid 1-D; reshaped/transposed back to (N, T, H, W, C) outside.
-
-Supported: stride (1, s, s) with equal H/W stride, padding 0, any dtype,
-quantize (half-up) — exactly the configurations the RubiksNet model uses
-(rubiksnet/models.py:132-136). The public op falls back to the select
-backend for anything else.
+Supported: stride (1, s, s) with equal H/W stride (s>1 requiring 32-bit
+dtype), padding 0, quantize (half-up). The public op falls back to the
+select backend for anything else.
 """
 
 from __future__ import annotations
@@ -66,20 +65,26 @@ def _pick_tile(h_out: int, s_h: int, taps: int, tp: int, bytes_per_row: int,
 
 
 def _kernel(
-    wt_ref, wh_ref, ww_ref, xp_ref, out_ref, buf, sem,
+    wt_ref, wh_ref, ww_ref, xp_ref, out_ref, buf, sems,
     *, taps, t_out, hp, tp, th, hw_in, wp, w_out, c, s_h, s_w, n_h,
 ):
     g = pl.program_id(0)
     n = g // n_h
     hb = g % n_h
-    row0 = (n * hp + hb * th * s_h) * tp
-    dma = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(row0, hw_in * tp)],  # one contiguous row range
-        buf,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    h0 = hb * th * s_h
+    # One contiguous DMA per padded frame t' into the (t', h) blocked buffer.
+    for tpi in range(tp):
+        pltpu.make_async_copy(
+            xp_ref.at[pl.ds((n * tp + tpi) * hp + h0, hw_in)],
+            buf.at[pl.ds(tpi * hw_in, hw_in)],
+            sems.at[tpi],
+        ).start()
+    for tpi in range(tp):
+        pltpu.make_async_copy(
+            xp_ref.at[pl.ds((n * tp + tpi) * hp + h0, hw_in)],
+            buf.at[pl.ds(tpi * hw_in, hw_in)],
+            sems.at[tpi],
+        ).wait()
 
     h_span = (th - 1) * s_h + 1
     w_span = (w_out - 1) * s_w + 1
@@ -88,14 +93,13 @@ def _kernel(
         return ref[j, :].reshape(1, 1, c)
 
     for t in range(t_out):
-        # T stage: buffer rows are (h, t') interleaved with period tp;
-        # tap j of output frame t lives at rows (t + j) :: tp.
+        # T stage: contiguous frame blocks of the halo buffer.
         a = None
         for j in range(taps):
-            rows = buf[t + j : t + j + (hw_in - 1) * tp + 1 : tp]
+            rows = buf[(t + j) * hw_in : (t + j + 1) * hw_in]
             term = w_at(wt_ref, j) * rows
             a = term if a is None else a + term
-        # H stage: strided window over the halo rows.
+        # H stage (contiguous for s_h == 1; strided slices only for 32-bit).
         b = None
         for j in range(taps):
             term = w_at(wh_ref, j) * a[j : j + h_span : s_h]
@@ -105,14 +109,16 @@ def _kernel(
         for j in range(taps):
             term = w_at(ww_ref, j) * b[:, j : j + w_span : s_w]
             o = term if o is None else o + term
-        # Output rows are (h, t) interleaved with period t_out.
-        out_ref[t : t + (th - 1) * t_out + 1 : t_out] = o
+        # Output tile rows ordered (t, h): contiguous write.
+        out_ref[t * th : (t + 1) * th] = o
 
 
-def fused_shift3d_supported(shape, stride, padding, max_shift) -> bool:
+def fused_shift3d_supported(shape, stride, padding, max_shift, dtype) -> bool:
     st, sh, sw = stride
     if st != 1 or sh != sw or padding != (0, 0, 0):
         return False
+    if sh != 1 and jnp.dtype(dtype).itemsize < 4:
+        return False  # Mosaic lacks 16-bit strided vector loads
     n, t, h, w, c = shape
     h_out = output_len(h, sh, 0)
     w_out = output_len(w, sw, 0)
@@ -139,9 +145,8 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     h_out = output_len(h_in, sh, 0)
     w_out = output_len(w_in, sw, 0)
 
-    # 128-align the channel (lane) extent inside the same pad op; the
-    # sublane (W) extents of all DMA'd buffers must be aligned to the dtype
-    # tile (8 for f32, 16 for bf16) or the runtime faults.
+    # 128-align the channel (lane) extent and sublane-align W inside the same
+    # pad op (unaligned DMA extents fault the runtime).
     cp = -(-c // 128) * 128
     sub = 16 if jnp.dtype(x.dtype).itemsize == 2 else 8
     shift = shift.astype(x.dtype)
@@ -152,27 +157,26 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
 
     tp = t_in + 2 * k + 1
     hp = (h_out - 1) * sh + 2 * k + 2
-    w_out_p = -(-w_out // sub) * sub  # sublane-aligned output W
+    w_out_p = -(-w_out // sub) * sub
     wp = (w_out_p - 1) * sw + 2 * k + 2
     wp = -(-wp // sub) * sub
-    # H-major padded layout (N, Hp, Tp, Wp, Cp), flattened to rank 3.
-    xt = jnp.transpose(x, (0, 2, 1, 3, 4))  # (N, H, T, W, C)
+    # Natural NTHWC pad (no input transpose), flattened to rank 3.
     xp = lax.pad(
-        xt,
+        x,
         jnp.zeros((), x.dtype),
         [
             (0, 0, 0),
-            (k, hp - h_in - k, 0),
             (k, tp - t_in - k, 0),
+            (k, hp - h_in - k, 0),
             (k, wp - w_in - k, 0),
             (0, cp - c, 0),
         ],
     )
-    xp3 = xp.reshape(n * hp * tp, wp, cp)
+    xp3 = xp.reshape(n * tp * hp, wp, cp)
 
     itemsize = jnp.dtype(x.dtype).itemsize
     bytes_per_row = wp * cp * itemsize
-    out_bytes_per_row = t_out * w_out * cp * itemsize
+    out_bytes_per_row = t_out * w_out_p * cp * itemsize
     th = _pick_tile(h_out, sh, taps, tp, bytes_per_row, out_bytes_per_row)
     hw_in = (th - 1) * sh + taps
     n_h = h_out // th
@@ -193,18 +197,21 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
             pl.BlockSpec(memory_space=pltpu.ANY),  # xp3 stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (th * t_out, w_out_p, cp), lambda g: (g, 0, 0),
+            (t_out * th, w_out_p, cp), lambda g: (g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n * h_out * t_out, w_out_p, cp), x.dtype
+            (n * n_h * t_out * th, w_out_p, cp), x.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((hw_in * tp, wp, cp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((tp * hw_in, wp, cp), x.dtype),
+            pltpu.SemaphoreType.DMA((tp,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(wt, wh, ww, xp3)
-    out = out.reshape(n, h_out, t_out, w_out_p, cp)
-    out = jnp.transpose(out, (0, 2, 1, 3, 4))
+    # (N, n_h, T, th, Wp, Cp) -> (N, T, H_out, W_out, C)
+    out = out.reshape(n, n_h, t_out, th, w_out_p, cp)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4, 5)).reshape(
+        n, t_out, h_out, w_out_p, cp
+    )
     return out[:, :, :, :w_out, :c]

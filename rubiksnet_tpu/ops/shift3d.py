@@ -110,7 +110,7 @@ def rubiks_shift_3d_forward(
         from .pallas import fused_shift3d_supported, rubiks_shift_3d_fused
 
         strides, pads = (st, sh, sw), (pt, ph, pw)
-        if fused_shift3d_supported(x.shape, strides, pads, max_shift):
+        if fused_shift3d_supported(x.shape, strides, pads, max_shift, x.dtype):
             return rubiks_shift_3d_fused(x, shift, strides, pads, quantize, max_shift)
         # unsupported config: fall back to the select backend
         out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt, quantize, max_shift)

@@ -16,7 +16,7 @@ RNG = np.random.RandomState(11)
 def test_fused_matches_gather(stride, quantize):
     x = jnp.asarray(RNG.randn(2, 4, 6, 7, 8), jnp.float32)
     shift = jnp.asarray(RNG.uniform(-3, 3, (3, 8)), jnp.float32)
-    assert fused_shift3d_supported(x.shape, stride, (0, 0, 0), 4)
+    assert fused_shift3d_supported(x.shape, stride, (0, 0, 0), 4, jnp.float32)
     ref = shift3d.rubiks_shift_3d_forward(x, shift, stride, (0, 0, 0), quantize, "gather")
     got = shift3d.rubiks_shift_3d_forward(x, shift, stride, (0, 0, 0), quantize, "pallas", 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
@@ -37,7 +37,7 @@ def test_unsupported_configs_fall_back():
     gather."""
     x = jnp.asarray(RNG.randn(1, 6, 5, 5, 4), jnp.float64)
     shift = jnp.asarray(RNG.uniform(-1.5, 1.5, (3, 4)), jnp.float64)
-    assert not fused_shift3d_supported(x.shape, (2, 2, 2), (1, 1, 1), 4)
+    assert not fused_shift3d_supported(x.shape, (2, 2, 2), (1, 1, 1), 4, jnp.float64)
     ref = shift3d.rubiks_shift_3d_forward(x, shift, (2, 2, 2), (1, 1, 1), False, "gather")
     got = shift3d.rubiks_shift_3d_forward(x, shift, (2, 2, 2), (1, 1, 1), False, "pallas", 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
