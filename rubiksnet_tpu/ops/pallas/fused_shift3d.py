@@ -102,12 +102,14 @@ def _kernel(
         # H stage (contiguous for s_h == 1; strided slices only for 32-bit).
         b = None
         for j in range(taps):
-            term = w_at(wh_ref, j) * a[j : j + h_span : s_h]
+            rows = lax.slice_in_dim(a, j, j + h_span, stride=s_h, axis=0)
+            term = w_at(wh_ref, j) * rows
             b = term if b is None else b + term
         # W stage.
         o = None
         for j in range(taps):
-            term = w_at(ww_ref, j) * b[:, j : j + w_span : s_w]
+            cols = lax.slice_in_dim(b, j, j + w_span, stride=s_w, axis=1)
+            term = w_at(ww_ref, j) * cols
             o = term if o is None else o + term
         # Output tile rows ordered (t, h): contiguous write.
         out_ref[t * th : (t + 1) * th] = o
