@@ -142,23 +142,45 @@ def _check_compatible(target, converted, what):
             raise ValueError(f"{what} shape mismatch at {p}: {tpaths[p]} vs {cpaths[p]}")
 
 
-def load_pretrained(ckpt_path: str, dtype=jnp.float32) -> RubiksNetBundle:
+def _max_int_shift(params) -> int:
+    """Smallest static bound covering every shift parameter's integer part.
+
+    The fast forward backends (conv/select/pallas) carry a static
+    |floor(shift)| <= max_shift bound; at checkpoint-load time the shift
+    values are concrete, so we size the bound exactly (smaller bound =>
+    smaller tap windows => faster shifts)."""
+    bound = 1
+    for path, leaf in _tree_paths(params):
+        if path and path[-1] == "shift":
+            m = float(np.max(np.abs(np.asarray(leaf))))
+            bound = max(bound, int(np.floor(m)) + 1)
+    return bound
+
+
+def load_pretrained(
+    ckpt_path: str, dtype=jnp.float32, shift_backend: str = "conv"
+) -> RubiksNetBundle:
     """Load a reference .pth.tar checkpoint (models.py:52-62) or a native
-    msgpack checkpoint, returning a ready-to-run bundle."""
+    msgpack checkpoint, returning a ready-to-run bundle.
+
+    The shift backend defaults to the fast conv formulation with the
+    max-shift bound sized from the checkpoint's actual shift values."""
     ckpt_path = os.path.expanduser(ckpt_path)
     if ckpt_path.endswith((".msgpack", ".rubiks")):
-        return load_checkpoint(ckpt_path, dtype=dtype)
+        return load_checkpoint(ckpt_path, dtype=dtype, shift_backend=shift_backend)
     import torch
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    params, stats = convert_torch_state_dict(ckpt["model"], ckpt["variant"])
     bundle = create_rubiksnet(
         tier=ckpt["tier"],
         num_classes=ckpt["num_classes"],
         num_frames=ckpt["num_frames"],
         variant=ckpt["variant"],
         dtype=dtype,
+        shift_backend=shift_backend,
+        shift_max_shift=_max_int_shift(params),
     )
-    params, stats = convert_torch_state_dict(ckpt["model"], ckpt["variant"])
     _check_compatible(serialization.to_state_dict(bundle.variables["params"]), params, "params")
     if "batch_stats" in bundle.variables:
         _check_compatible(
@@ -253,7 +275,9 @@ def save_checkpoint(bundle: RubiksNetBundle, path: str):
         f.write(data)
 
 
-def load_checkpoint(path: str, dtype=jnp.float32) -> RubiksNetBundle:
+def load_checkpoint(
+    path: str, dtype=jnp.float32, shift_backend: str = "conv"
+) -> RubiksNetBundle:
     with open(os.path.expanduser(path), "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     bundle = create_rubiksnet(
@@ -262,6 +286,8 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> RubiksNetBundle:
         num_frames=int(payload["num_frames"]),
         variant=payload["variant"],
         dtype=dtype,
+        shift_backend=shift_backend,
+        shift_max_shift=_max_int_shift(payload["variables"].get("params", {})),
     )
     variables = serialization.from_state_dict(bundle.variables, payload["variables"])
     return RubiksNetBundle(model=bundle.model, variables=variables)
