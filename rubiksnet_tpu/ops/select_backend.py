@@ -84,6 +84,61 @@ def inverse_shift_axis_select(
     return out
 
 
+def tapped_outputs_select(
+    x: jax.Array,
+    axis: int,
+    stride: int,
+    padding: int,
+    d_out: int,
+    outputs,
+    max_shift: int = DEFAULT_MAX_SHIFT,
+):
+    """Generic shared-slice tap machinery.
+
+    outputs: list of tap-term lists; each term is (k_c, w_c) with per-channel
+    integer offsets k_c (C,) in [-max_shift-1, max_shift+1] and weights w_c
+    (C,). Returns [sum_terms sum_j (k_c == j) * w_c * x[o*stride - padding + j]
+    for each output], computing each shifted slice of x exactly once.
+
+    Used by the gradient paths where the corrected-corner taps need offsets
+    one beyond the forward's range (cuda_src/rubiks3d_kernels.cu:288-298).
+    """
+    ndim = x.ndim
+    d_in = x.shape[axis]
+    k1 = max_shift + 1
+    lo = k1 + padding
+    hi_needed = (d_out - 1) * stride + k1 + 1 - padding - (d_in - 1)
+    pad_cfg = [(0, 0, 0)] * ndim
+    pad_cfg[axis] = (lo, max(hi_needed, 0), 0)
+    xp = lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
+    cshape = (1,) * (ndim - 1) + (-1,)
+
+    def tap(j):
+        start = [0] * ndim
+        limit = list(xp.shape)
+        strides = [1] * ndim
+        start[axis] = j + k1
+        limit[axis] = j + k1 + (d_out - 1) * stride + 1
+        strides[axis] = stride
+        return lax.slice(xp, start, limit, strides)
+
+    accs = [None] * len(outputs)
+    for j in range(-k1, k1 + 2):
+        sl = None
+        for i, terms in enumerate(outputs):
+            w = None
+            for k_c, w_c in terms:
+                wj = (k_c == j).astype(x.dtype) * w_c
+                w = wj if w is None else w + wj
+            # skip the slice if all weights are structurally zero? (dynamic;
+            # just accumulate — XLA DCEs all-zero masks poorly, acceptable)
+            if sl is None:
+                sl = tap(j)
+            term = sl * w.reshape(cshape)
+            accs[i] = term if accs[i] is None else accs[i] + term
+    return accs
+
+
 def frac_shift_axis_select(
     x: jax.Array,
     shift_c: jax.Array,

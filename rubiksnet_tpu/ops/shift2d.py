@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from . import shift_core as core
 from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
-from .select_backend import frac_shift_axis_select, inverse_shift_axis_select
+from .select_backend import (
+    frac_shift_axis_select,
+    inverse_shift_axis_select,
+    tapped_outputs_select,
+)
 
 __all__ = [
     "rubiks_shift_2d",
@@ -137,7 +141,34 @@ def _axis_lerp(x, shift_c, axis, stride, padding, d_out, r):
     return (1 - rb) * g0 + rb * g1
 
 
-def rubiks_shift_2d_shift_grad(og, x, shift, stride=(1, 1), padding=(0, 0)):
+def _axis_diff_select(x, shift_c, axis, stride, padding, d_out, is_int, max_shift):
+    small = jnp.floor(shift_c).astype(jnp.int32)
+    ones = jnp.ones(shift_c.shape, x.dtype)
+    g_m1, g_0, g_p1 = tapped_outputs_select(
+        x, axis, stride, padding, d_out,
+        [[(small - 1, ones)], [(small, ones)], [(small + 1, ones)]], max_shift,
+    )
+    fwd = g_p1 - g_0
+    cen = 0.5 * (g_p1 - g_m1)
+    mask = core._cexpand(is_int, x.ndim)
+    return jnp.where(mask, cen, fwd)
+
+
+def _axis_lerp_select(x, shift_c, axis, stride, padding, d_out, r, max_shift):
+    small = jnp.floor(shift_c).astype(jnp.int32)
+    w0 = (1 - r).astype(x.dtype)
+    w1 = r.astype(x.dtype)
+    g0, g1 = tapped_outputs_select(
+        x, axis, stride, padding, d_out,
+        [[(small, w0)], [(small + 1, w1)]], max_shift,
+    )
+    return g0 + g1
+
+
+def rubiks_shift_2d_shift_grad(
+    og, x, shift, stride=(1, 1), padding=(0, 0),
+    backend="gather", max_shift=DEFAULT_MAX_SHIFT,
+):
     """Raw (2, C) shift gradient per cuda_src/rubiks2d_kernels.cu:147-266."""
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
@@ -152,11 +183,20 @@ def rubiks_shift_2d_shift_grad(og, x, shift, stride=(1, 1), padding=(0, 0)):
     rh, int_h = remainder(shift[0])
     rw, int_w = remainder(shift[1])
 
+    if backend == "gather":
+        diff = lambda y, sc, ax, ss, pp, do, ii: _axis_diff(y, sc, ax, ss, pp, do, ii)
+        lerp = lambda y, sc, ax, ss, pp, do, rr: _axis_lerp(y, sc, ax, ss, pp, do, rr)
+    else:
+        diff = lambda y, sc, ax, ss, pp, do, ii: _axis_diff_select(
+            y, sc, ax, ss, pp, do, ii, max_shift)
+        lerp = lambda y, sc, ax, ss, pp, do, rr: _axis_lerp_select(
+            y, sc, ax, ss, pp, do, rr, max_shift)
+
     # d out / d shift_H = LerpW(DiffH(x)); d out / d shift_W = LerpH(DiffW(x)).
-    dh = _axis_diff(x, shift[0], _H_AX, sh, ph, ho, int_h)
-    grad_h_local = _axis_lerp(dh, shift[1], _W_AX, sw, pw, wo, rw)
-    lh = _axis_lerp(x, shift[0], _H_AX, sh, ph, ho, rh)
-    grad_w_local = _axis_diff(lh, shift[1], _W_AX, sw, pw, wo, int_w)
+    dh = diff(x, shift[0], _H_AX, sh, ph, ho, int_h)
+    grad_h_local = lerp(dh, shift[1], _W_AX, sw, pw, wo, rw)
+    lh = lerp(x, shift[0], _H_AX, sh, ph, ho, rh)
+    grad_w_local = diff(lh, shift[1], _W_AX, sw, pw, wo, int_w)
 
     reduce_axes = (0, 1, 2)
     gh = jnp.sum(og * grad_h_local, axis=reduce_axes)
@@ -196,7 +236,9 @@ def _core_bwd(
         og, shift, x.shape, stride, padding, quantize, backend, max_shift
     )
     if enable_shift_grad:
-        shift_grad = rubiks_shift_2d_shift_grad(og, x, shift, stride, padding)
+        shift_grad = rubiks_shift_2d_shift_grad(
+            og, x, shift, stride, padding, backend, max_shift
+        )
         if normalize_grad:
             shift_grad = normalize_shift_grad_2d(shift_grad)
     else:

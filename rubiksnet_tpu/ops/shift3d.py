@@ -31,7 +31,11 @@ import jax.numpy as jnp
 
 from . import shift_core as core
 from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
-from .select_backend import frac_shift_axis_select, inverse_shift_axis_select
+from .select_backend import (
+    frac_shift_axis_select,
+    inverse_shift_axis_select,
+    tapped_outputs_select,
+)
 
 __all__ = [
     "rubiks_shift_3d",
@@ -155,7 +159,26 @@ def rubiks_shift_3d_input_grad(
     return g
 
 
-def rubiks_shift_3d_shift_grad(og, x, shift, stride=(1, 1, 1), padding=(0, 0, 0)):
+def _corrected_taps_select(x, shift_c, axis, stride, padding, d_out, max_shift):
+    """Select-backend version of shift_core.corrected_taps (exact-zero
+    remainder test, backward-difference corrected small tap)."""
+    sf = jnp.floor(shift_c)
+    small = sf.astype(jnp.int32)
+    r = (shift_c - sf).astype(x.dtype)
+    is_int = r == 0
+    small_corr = small - is_int.astype(jnp.int32)
+    ones = jnp.ones_like(r)
+    g_small, g_large = tapped_outputs_select(
+        x, axis, stride, padding, d_out,
+        [[(small_corr, ones)], [(small + 1, ones)]], max_shift,
+    )
+    return g_small, g_large, r, is_int
+
+
+def rubiks_shift_3d_shift_grad(
+    og, x, shift, stride=(1, 1, 1), padding=(0, 0, 0),
+    backend="gather", max_shift=DEFAULT_MAX_SHIFT,
+):
     """Raw (un-normalized) gradient w.r.t. the (3, C) shift parameters.
 
     Implements the plane-difference formulas of
@@ -179,27 +202,36 @@ def rubiks_shift_3d_shift_grad(og, x, shift, stride=(1, 1, 1), padding=(0, 0, 0)
     shift = shift.astype(x.dtype)
     to, ho, wo = og.shape[_T_AX], og.shape[_H_AX], og.shape[_W_AX]
 
+    if backend == "gather":
+        taps = lambda y, sc, ax, sstride, spad, dout: core.corrected_taps(
+            y, sc, ax, sstride, spad, dout
+        )
+    else:
+        taps = lambda y, sc, ax, sstride, spad, dout: _corrected_taps_select(
+            y, sc, ax, sstride, spad, dout, max_shift
+        )
+
     # Per-axis corrected taps of x along T. Shared by L'_T and D_T.
-    at, bt, rt, _ = core.corrected_taps(x, shift[0], _T_AX, st, pt, to)
+    at, bt, rt, _ = taps(x, shift[0], _T_AX, st, pt, to)
     rtb = rt.reshape((1, 1, 1, 1, -1))
     u = (1 - rtb) * at + rtb * bt  # L'_T(x)
     v = bt - at  # D_T(x)
 
     # H-stage taps on u (shared by D_H and L'_H of u) and on v.
-    ah_u, bh_u, rh, _ = core.corrected_taps(u, shift[1], _H_AX, sh, ph, ho)
+    ah_u, bh_u, rh, _ = taps(u, shift[1], _H_AX, sh, ph, ho)
     rhb = rh.reshape((1, 1, 1, 1, -1))
     lh_u = (1 - rhb) * ah_u + rhb * bh_u  # L'_H(L'_T(x))
     dh_u = bh_u - ah_u  # D_H(L'_T(x))
-    ah_v, bh_v, _, _ = core.corrected_taps(v, shift[1], _H_AX, sh, ph, ho)
+    ah_v, bh_v, _, _ = taps(v, shift[1], _H_AX, sh, ph, ho)
     lh_v = (1 - rhb) * ah_v + rhb * bh_v  # L'_H(D_T(x))
 
     # W-stage.
-    aw_1, bw_1, rw, _ = core.corrected_taps(lh_v, shift[2], _W_AX, sw, pw, wo)
+    aw_1, bw_1, rw, _ = taps(lh_v, shift[2], _W_AX, sw, pw, wo)
     rwb = rw.reshape((1, 1, 1, 1, -1))
     grad_t_local = (1 - rwb) * aw_1 + rwb * bw_1  # L'_W(L'_H(D_T(x)))
-    aw_2, bw_2, _, _ = core.corrected_taps(dh_u, shift[2], _W_AX, sw, pw, wo)
+    aw_2, bw_2, _, _ = taps(dh_u, shift[2], _W_AX, sw, pw, wo)
     grad_h_local = (1 - rwb) * aw_2 + rwb * bw_2  # L'_W(D_H(L'_T(x)))
-    aw_3, bw_3, _, _ = core.corrected_taps(lh_u, shift[2], _W_AX, sw, pw, wo)
+    aw_3, bw_3, _, _ = taps(lh_u, shift[2], _W_AX, sw, pw, wo)
     grad_w_local = bw_3 - aw_3  # D_W(L'_H(L'_T(x)))
 
     og32 = og
@@ -254,7 +286,9 @@ def _core_bwd(
     x_grad = rubiks_shift_3d_input_grad(
         og, shift, x.shape, stride, padding, quantize, backend, max_shift
     )
-    shift_grad = rubiks_shift_3d_shift_grad(og, x, shift, stride, padding)
+    shift_grad = rubiks_shift_3d_shift_grad(
+        og, x, shift, stride, padding, backend, max_shift
+    )
     if normalize_grad:
         shift_grad = normalize_shift_grad_3d(shift_grad, normalize_t_factor)
     return x_grad, shift_grad.astype(shift.dtype)

@@ -95,3 +95,46 @@ def test_select_inverse_shift_matches_gather(case):
         "select", 4,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("case", CASES_3D[:3])
+def test_select_shift_grad_matches_gather(case):
+    """The select-backend corrected-tap shift gradient must match gather."""
+    from rubiksnet_tpu.ops.shift3d import (
+        compute_output_shape_3d,
+        rubiks_shift_3d_shift_grad,
+    )
+
+    in_shape = (2, 4, 6, 7, 8)
+    x = jnp.asarray(RNG.randn(*in_shape), jnp.float64)
+    out_shape = compute_output_shape_3d(in_shape, case["stride"], case["padding"])
+    og = jnp.asarray(RNG.randn(*out_shape), jnp.float64)
+    shift = np.asarray(RNG.uniform(-3.5, 3.5, (3, 8)))
+    shift[:, 0] = [1.0, -1.0, 0.0]  # integer shifts: corrected-corner path
+    shift = jnp.asarray(shift)
+    ref = rubiks_shift_3d_shift_grad(
+        og, x, shift, case["stride"], case["padding"], "gather"
+    )
+    got = rubiks_shift_3d_shift_grad(
+        og, x, shift, case["stride"], case["padding"], "select", 4
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def test_select_shift_grad_2d_matches_gather():
+    from rubiksnet_tpu.ops.shift2d import (
+        compute_output_shape_2d,
+        rubiks_shift_2d_shift_grad,
+    )
+
+    in_shape = (2, 6, 7, 8)
+    x = jnp.asarray(RNG.randn(*in_shape), jnp.float64)
+    for stride, padding in [((1, 1), (0, 0)), ((2, 2), (0, 0)), ((2, 1), (1, 0))]:
+        out_shape = compute_output_shape_2d(in_shape, stride, padding)
+        og = jnp.asarray(RNG.randn(*out_shape), jnp.float64)
+        shift = np.asarray(RNG.uniform(-3.5, 3.5, (2, 8)))
+        shift[:, 0] = [1.0, -2.0]
+        shift = jnp.asarray(shift)
+        ref = rubiks_shift_2d_shift_grad(og, x, shift, stride, padding, "gather")
+        got = rubiks_shift_2d_shift_grad(og, x, shift, stride, padding, "select", 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
