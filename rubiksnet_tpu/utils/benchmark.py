@@ -48,13 +48,14 @@ def time_chained(
 
     run(f_lo)  # compile both
     run(f_hi)
-    best = float("inf")
+    lo_times, hi_times = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run(f_lo)
-        t_lo = time.perf_counter() - t0
+        lo_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         run(f_hi)
-        t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
-    return best
+        hi_times.append(time.perf_counter() - t0)
+    # Difference the best-case runs: per-repeat differences go negative under
+    # the ~0.5 s fetch-latency jitter of the tunneled runtime.
+    return max(min(hi_times) - min(lo_times), 1e-9) / (n_hi - n_lo)
