@@ -21,7 +21,7 @@ BASELINE_CLIPS_PER_SEC = 125.0  # 0.008 s/video, ssv2_large_1clip.log:24
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tier", default="large")
-    p.add_argument("--batch-sizes", type=int, nargs="+", default=[32, 64])
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[64])
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -130,7 +130,7 @@ def main():
             ),
             device,
         )
-        dt = time_chained(forward, video, n_lo=args.warmup, n_hi=args.iters)
+        dt = time_chained(forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=4)
         clips_per_sec = bs / dt
         results[bs] = clips_per_sec
         if clips_per_sec > best:
