@@ -45,6 +45,7 @@ class RubiksNet(nn.Module):
     variant: str = "rubiks3d"
     shift_backend: str = "gather"
     shift_max_shift: int = 4
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -59,6 +60,7 @@ class RubiksNet(nn.Module):
             variant=self.variant,
             shift_backend=self.shift_backend,
             shift_max_shift=self.shift_max_shift,
+            remat=self.remat,
             dtype=self.dtype,
             name="backbone",
         )
@@ -150,6 +152,7 @@ def create_rubiksnet(
     input_size: int = INPUT_SIZE,
     shift_backend: str = "gather",
     shift_max_shift: int = 4,
+    remat: bool = False,
 ) -> RubiksNetBundle:
     """Build a randomly initialized RubiksNet (the functional analogue of
     RubiksNet(...) construction in the reference)."""
@@ -161,6 +164,7 @@ def create_rubiksnet(
         variant=variant,
         shift_backend=shift_backend,
         shift_max_shift=shift_max_shift,
+        remat=remat,
         dtype=dtype,
     )
     dummy = jnp.zeros((1, num_frames, input_size, input_size, 3), jnp.float32)

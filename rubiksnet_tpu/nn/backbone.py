@@ -145,6 +145,7 @@ class RubiksNetBackbone(nn.Module):
     variant: str = "rubiks3d"
     shift_backend: str = "gather"
     shift_max_shift: int = 4
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -162,11 +163,19 @@ class RubiksNetBackbone(nn.Module):
             (4 * self.width, self.repeats[2], 2),
             (8 * self.width, self.repeats[3], 2),
         ]
+        # Rematerializing each block bounds the backward graph (and live
+        # activation memory): recompute the forward inside the block during
+        # the backward pass instead of keeping one giant fused graph.
+        block_cls = (
+            nn.remat(RubiksShiftBlock, static_argnums=(2,))
+            if self.remat
+            else RubiksShiftBlock
+        )
         for stage_idx, (planes, repeat, stride) in enumerate(widths):
             blocks = []
             for b in range(repeat):
                 blocks.append(
-                    RubiksShiftBlock(
+                    block_cls(
                         in_planes=in_planes,
                         out_planes=planes,
                         stride=stride if b == 0 else 1,
@@ -204,7 +213,7 @@ class RubiksNetBackbone(nn.Module):
         x = self.conv1(x)
         for blocks in self.stages:
             for block in blocks:
-                x = block(x, train=train)
+                x = block(x, train)
         x = nn.relu(self.bn_last(x, use_running_average=not train))
         x = jnp.mean(x, axis=(2, 3))  # global average pool -> (N, T, C)
         if self.num_classes is not None:
