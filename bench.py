@@ -43,7 +43,7 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     bundle = create_rubiksnet(
         args.tier, num_classes=174, num_frames=args.frames, input_size=64,
-        dtype=dtype, shift_backend=args.backend,
+        dtype=dtype, shift_backend=args.backend, remat=args.mode == "train",
     )
 
     from rubiksnet_tpu.utils.benchmark import time_chained

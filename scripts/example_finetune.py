@@ -82,7 +82,8 @@ def main():
     else:
         print("=> no pretrained checkpoint given; training from random init")
         bundle = create_rubiksnet(
-            args.tier, args.num_classes, args.frames, input_size=64
+            args.tier, args.num_classes, args.frames, input_size=64,
+            shift_backend="conv", remat=True,
         )
 
     # train transforms per example_finetune.py:76-83 (note: no normalization)
