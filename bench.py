@@ -27,8 +27,8 @@ def main():
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--backend", default="conv",
                    choices=["pallas", "conv", "select", "gather"])
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
     args = p.parse_args()
 
@@ -130,7 +130,13 @@ def main():
             ),
             device,
         )
-        dt = time_chained(forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=4)
+        try:
+            dt = time_chained(
+                forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=3
+            )
+        except RuntimeError as e:
+            print(f"warning: {e}", flush=True)
+            continue
         clips_per_sec = bs / dt
         results[bs] = clips_per_sec
         if clips_per_sec > best:

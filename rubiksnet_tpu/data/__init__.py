@@ -1,4 +1,6 @@
 from .config import return_dataset
+from .native_eval import NativeEvalDataset
+from . import native_loader
 from .dataset import (
     RubiksDataset,
     VideoRecord,
@@ -25,7 +27,7 @@ from .transforms import (
 )
 
 __all__ = [
-    "return_dataset", "RubiksDataset", "VideoRecord", "batch_iterator",
+    "return_dataset", "NativeEvalDataset", "native_loader", "RubiksDataset", "VideoRecord", "batch_iterator",
     "parse_list_file", "sample_test_indices", "sample_train_indices",
     "sample_val_indices", "Compose", "GroupCenterCrop", "GroupFullResSample",
     "GroupMultiScaleCrop", "GroupNormalize", "GroupOverSample",

@@ -35,6 +35,8 @@ def main():
                         help="evaluate only the first N videos")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--loader", default="pil", choices=["pil", "native"],
+                        help="'native' uses the C++ libjpeg pipeline")
     args = parser.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -45,8 +47,8 @@ def main():
 
     from rubiksnet_tpu.data import (
         Compose, GroupCenterCrop, GroupFullResSample, GroupNormalize,
-        GroupScale, RubiksDataset, Stack, ToClipArray, batch_iterator,
-        return_dataset,
+        GroupScale, NativeEvalDataset, RubiksDataset, Stack, ToClipArray,
+        batch_iterator, native_loader, return_dataset,
     )
     from rubiksnet_tpu.models import INPUT_MEAN, INPUT_STD, load_pretrained
     from rubiksnet_tpu.parallel import mesh as pmesh
@@ -82,6 +84,10 @@ def main():
             GroupNormalize(INPUT_MEAN, INPUT_STD),
         ]
     )
+    use_native = args.loader == "native"
+    if use_native and not native_loader.available():
+        print("=> native loader unavailable; falling back to PIL")
+        use_native = False
     dataset = RubiksDataset(
         root_path,
         val_list,
@@ -90,12 +96,18 @@ def main():
         image_tmpl=prefix,
         test_mode=True,
         remove_missing=True,
-        transform=transform,
+        transform=None if use_native else transform,
         dense_sample=False,
         twice_sample=twice_sample,
     )
     if args.limit:
         dataset.video_list = dataset.video_list[: args.limit]
+    if use_native:
+        print("=> loader: native (C++ libjpeg pipeline)")
+        dataset = NativeEvalDataset(
+            dataset, scale_size, crop_size, INPUT_MEAN, INPUT_STD,
+            two_clips=args.two_clips,
+        )
     print(f"=> videos: {len(dataset)}")
 
     m = pmesh.create_mesh()
