@@ -6,6 +6,10 @@ Prints ONE JSON line:
 Baseline: the reference eval logs report 0.008 s/video for Large 1-clip
 (scripts/eval_logs/ssv2_large_1clip.log:24, see BASELINE.md) = 125 clips/s on
 an unspecified CUDA-10.1-era GPU.
+
+The JSON detail includes the full batch sweep plus a roofline readout
+(achieved TFLOP/s, fraction of v5e bf16 peak, HBM-bandwidth utilization) from
+XLA's compiled cost analysis, so "at the HBM floor" is a measured claim.
 """
 
 import argparse
@@ -17,11 +21,48 @@ import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 125.0  # 0.008 s/video, ssv2_large_1clip.log:24
 
+# TPU v5e (v5 lite) single-chip peaks; used only for the utilization readout.
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _cost_analysis(jitted, *args):
+    """FLOPs + HBM bytes of one compiled call, via XLA cost analysis.
+
+    Returns (flops, bytes_accessed) or (None, None) when the runtime doesn't
+    expose the analysis."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None, (
+            float(ca.get("bytes accessed", 0.0)) or None
+        )
+    except Exception:
+        return None, None
+
+
+def _utilization(flops, bytes_accessed, dt, bs):
+    detail = {}
+    if dt and flops:
+        detail["achieved_tflops"] = round(flops / dt / 1e12, 2)
+        detail["mxu_util"] = round(flops / dt / V5E_BF16_FLOPS, 4)
+    if dt and bytes_accessed:
+        detail["hbm_gbps"] = round(bytes_accessed / dt / 1e9, 1)
+        detail["hbm_util"] = round(bytes_accessed / dt / V5E_HBM_BYTES_PER_S, 4)
+    return detail
+
+
+SWEEP_BATCHES = [1, 2, 4, 8, 16, 32, 64, 96, 128, 192, 256]
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tier", default="large")
-    p.add_argument("--batch-sizes", type=int, nargs="+", default=[64])
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[32, 64, 96])
+    p.add_argument("--sweep", action="store_true",
+                   help=f"benchmark the full batch curve {SWEEP_BATCHES}")
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -31,6 +72,8 @@ def main():
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
     args = p.parse_args()
+    if args.sweep:
+        args.batch_sizes = SWEEP_BATCHES
 
     from rubiksnet_tpu.utils.platform import select_platform
 
@@ -39,6 +82,7 @@ def main():
     import jax.numpy as jnp
 
     from rubiksnet_tpu.models import create_rubiksnet
+    from rubiksnet_tpu.utils.benchmark import time_chained, time_chained_carry
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     bundle = create_rubiksnet(
@@ -46,114 +90,90 @@ def main():
         dtype=dtype, shift_backend=args.backend, remat=args.mode == "train",
     )
 
-    from rubiksnet_tpu.utils.benchmark import time_chained
-
     device = jax.devices()[0]
     variables = jax.device_put(bundle.variables, device)
+
+    def make_video(bs, vdtype):
+        return jax.device_put(
+            jnp.asarray(
+                np.random.RandomState(0).randn(
+                    bs, args.frames, args.size, args.size, 3
+                ),
+                vdtype,
+            ),
+            device,
+        )
+
+    results, util = {}, {}
+    best, best_bs = 0.0, None
 
     if args.mode == "train":
         from rubiksnet_tpu.train import (
             create_train_state, make_train_step, sgd_with_shift_mult,
         )
-        import time as _time
-        from jax import lax
 
         tx = sgd_with_shift_mult(1e-3, 0.1)
         state0 = jax.device_put(create_train_state(bundle, tx), device)
         step = make_train_step(bundle.model, tx)
-        results = {}
-        best, best_bs = 0.0, None
         for bs in args.batch_sizes:
-            video = jax.device_put(
-                jnp.asarray(
-                    np.random.RandomState(0).randn(
-                        bs, args.frames, args.size, args.size, 3
-                    ),
-                    jnp.float32,
-                ),
-                device,
-            )
+            video = make_video(bs, jnp.float32)
             labels = jax.device_put(
                 jnp.asarray(np.arange(bs) % 174, jnp.int32), device
             )
-
-            def chained(n):
-                return jax.jit(
-                    lambda s: lax.fori_loop(
-                        0, n, lambda i, st: step(st, video, labels)[0], s
-                    )
+            carry_fn = lambda s: step(s, video, labels)[0]
+            try:
+                dt = time_chained_carry(
+                    carry_fn, state0, n_lo=args.warmup, n_hi=args.iters
                 )
-
-            f_lo, f_hi = chained(args.warmup), chained(args.iters)
-
-            def run(f):
-                st = f(state0)
-                _ = np.asarray(jax.tree_util.tree_leaves(st.params)[0]).ravel()[0]
-
-            run(f_lo); run(f_hi)
-            t0 = _time.perf_counter(); run(f_lo); t_lo = _time.perf_counter() - t0
-            t0 = _time.perf_counter(); run(f_hi); t_hi = _time.perf_counter() - t0
-            dt = (t_hi - t_lo) / (args.iters - args.warmup)
+            except RuntimeError as e:
+                print(f"warning: bs={bs}: {e}", flush=True)
+                continue
             results[bs] = bs / dt
+            flops, ba = _cost_analysis(jax.jit(carry_fn), state0)
+            util[bs] = _utilization(flops, ba, dt, bs)
             if results[bs] > best:
                 best, best_bs = results[bs], bs
-        print(
-            json.dumps(
-                {
-                    "metric": f"train clips/sec/chip RubiksNet-{args.tier.capitalize()} "
-                    f"{args.frames}-frame {args.size}px {args.backend}-backend",
-                    "value": round(best, 2),
-                    "unit": "clips/s",
-                    "vs_baseline": None,
-                    "detail": {
-                        "batch_sweep": {str(k): round(v, 2) for k, v in results.items()},
-                        "best_batch": best_bs,
-                    },
-                }
-            )
+        metric = (
+            f"train clips/sec/chip RubiksNet-{args.tier.capitalize()} "
+            f"{args.frames}-frame {args.size}px {args.backend}-backend"
         )
-        return
+        vs = None
+    else:
+        def forward(video):
+            return bundle.model.apply(variables, video, train=False)
 
-    def forward(video):
-        return bundle.model.apply(variables, video, train=False)
-
-    best = 0.0
-    best_bs = None
-    results = {}
-    for bs in args.batch_sizes:
-        video = jax.device_put(
-            jnp.asarray(
-                np.random.RandomState(0).randn(
-                    bs, args.frames, args.size, args.size, 3
-                ),
-                dtype,
-            ),
-            device,
+        for bs in args.batch_sizes:
+            video = make_video(bs, dtype)
+            try:
+                dt = time_chained(
+                    forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=3
+                )
+            except RuntimeError as e:
+                print(f"warning: bs={bs}: {e}", flush=True)
+                continue
+            results[bs] = bs / dt
+            flops, ba = _cost_analysis(jax.jit(forward), video)
+            util[bs] = _utilization(flops, ba, dt, bs)
+            if results[bs] > best:
+                best, best_bs = results[bs], bs
+        metric = (
+            f"clips/sec/chip RubiksNet-{args.tier.capitalize()} "
+            f"{args.frames}-frame {args.size}px {args.dtype} "
+            f"{args.backend}-backend inference"
         )
-        try:
-            dt = time_chained(
-                forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=3
-            )
-        except RuntimeError as e:
-            print(f"warning: {e}", flush=True)
-            continue
-        clips_per_sec = bs / dt
-        results[bs] = clips_per_sec
-        if clips_per_sec > best:
-            best, best_bs = clips_per_sec, bs
+        vs = round(best / BASELINE_CLIPS_PER_SEC, 3)
 
     print(
         json.dumps(
             {
-                "metric": f"clips/sec/chip RubiksNet-{args.tier.capitalize()} "
-                f"{args.frames}-frame {args.size}px {args.dtype} "
-                f"{args.backend}-backend inference",
+                "metric": metric,
                 "value": round(best, 2),
                 "unit": "clips/s",
-                "vs_baseline": round(best / BASELINE_CLIPS_PER_SEC, 3),
+                "vs_baseline": vs,
                 "detail": {
                     "batch_sweep": {str(k): round(v, 2) for k, v in results.items()},
                     "best_batch": best_bs,
+                    "utilization": {str(k): v for k, v in util.items() if v},
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -6,6 +6,8 @@ from .dataset import (
     VideoRecord,
     batch_iterator,
     parse_list_file,
+    sample_all_indices,
+    sample_dense_indices,
     sample_test_indices,
     sample_train_indices,
     sample_val_indices,
@@ -28,8 +30,8 @@ from .transforms import (
 
 __all__ = [
     "return_dataset", "NativeEvalDataset", "native_loader", "RubiksDataset", "VideoRecord", "batch_iterator",
-    "parse_list_file", "sample_test_indices", "sample_train_indices",
-    "sample_val_indices", "Compose", "GroupCenterCrop", "GroupFullResSample",
+    "parse_list_file", "sample_all_indices", "sample_dense_indices",
+    "sample_test_indices", "sample_train_indices", "sample_val_indices", "Compose", "GroupCenterCrop", "GroupFullResSample",
     "GroupMultiScaleCrop", "GroupNormalize", "GroupOverSample",
     "GroupRandomCrop", "GroupRandomHorizontalFlip", "GroupRandomSizedCrop",
     "GroupScale", "IdentityTransform", "Stack", "ToClipArray",

@@ -80,6 +80,44 @@ def sample_train_indices(
     return (offsets + 1) * 2 if only_even else offsets + 1
 
 
+def sample_dense_indices(
+    num_frames: int,
+    num_segments: int,
+    only_even: bool = True,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """i3d-style dense sampler with a random start, used by BOTH the train
+    and val paths (the reference duplicates identical code in
+    dataset/core.py:95-116 and 167-188)."""
+    rng = rng or np.random
+    effective = num_frames // 2 if only_even else num_frames
+    window = 32 if only_even else 64
+    sample_pos = max(1, 1 + effective - window)
+    t_stride = window // num_segments
+    start_idx = 0 if sample_pos == 1 else rng.randint(0, sample_pos - 1)
+    offsets = np.array(
+        [(idx * t_stride + start_idx) % effective for idx in range(num_segments)]
+    )
+    return (offsets + 1) * 2 if only_even else offsets + 1
+
+
+def sample_all_indices(
+    num_frames: int,
+    num_segments: int,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """Contiguous-window sampler with a random start (dataset/core.py:118-125
+    and 189-196; identical for train and val). Note the reference applies no
+    even-index doubling on this path."""
+    rng = rng or np.random
+    sample_pos = max(1, 1 + num_frames - num_segments)
+    start_idx = 0 if sample_pos == 1 else rng.randint(0, sample_pos - 1)
+    offsets = np.array(
+        [(idx + start_idx) % num_frames for idx in range(num_segments)]
+    )
+    return offsets + 1
+
+
 def sample_val_indices(
     num_frames: int, num_segments: int, only_even: bool = True, new_length: int = 1
 ) -> np.ndarray:
@@ -214,6 +252,17 @@ class RubiksDataset:
 
     def indices_for(self, record: VideoRecord) -> np.ndarray:
         if not self.test_mode:
+            # dense/all take precedence over the normal train/val samplers and
+            # are identical between them (dataset/core.py:95-125, 167-196).
+            if self.dense_sample:
+                return sample_dense_indices(
+                    record.num_frames, self.num_segments, self.only_even,
+                    rng=self.rng,
+                )
+            if self.all_sample:
+                return sample_all_indices(
+                    record.num_frames, self.num_segments, rng=self.rng
+                )
             if self.random_shift:
                 return sample_train_indices(
                     record.num_frames, self.num_segments, self.only_even,

@@ -3,6 +3,7 @@ from .mesh import (
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
+    initialize_distributed,
     param_partition_spec,
     replicated,
     shard_batch,
@@ -11,5 +12,6 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "batch_sharding", "create_mesh",
+    "initialize_distributed",
     "param_partition_spec", "replicated", "shard_batch", "shard_params",
 ]

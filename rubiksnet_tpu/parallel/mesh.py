@@ -26,6 +26,49 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Multi-host bring-up: wire this process into a JAX distributed system.
+
+    Call once per host before any other jax API, then build meshes with
+    create_mesh() as usual — jax.devices() returns the devices of ALL hosts
+    and XLA routes collectives over ICI within a slice and DCN across slices.
+
+    With no arguments this relies on the TPU environment's automatic
+    coordinator discovery (jax.distributed.initialize() no-arg form). On a
+    single host with no coordinator configured, initialization is skipped and
+    False is returned — single-process SPMD keeps working unchanged, so code
+    can call this unconditionally.
+
+    Returns True when a multi-process runtime was initialized.
+    """
+    import os
+
+    # TPU_WORKER_HOSTNAMES is set even on single-host TPU VMs; it signals a
+    # multi-host slice only when it lists more than one hostname.
+    workers = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    single_host = (
+        coordinator_address is None
+        and num_processes in (None, 1)
+        and "COORDINATOR_ADDRESS" not in os.environ
+        and "MEGASCALE_COORDINATOR_ADDRESS" not in os.environ
+        and len(workers) <= 1
+    )
+    if single_host:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return True
+
+
 def create_mesh(
     data: Optional[int] = None,
     model: int = 1,

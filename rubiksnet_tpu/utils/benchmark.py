@@ -19,6 +19,38 @@ import numpy as np
 from jax import lax
 
 
+def _measure_diff(f_lo, f_hi, example, n_lo: int, n_hi: int, repeats: int) -> float:
+    """Run compiled chained loops, difference best-case wall times.
+
+    Per-repeat differences go negative under the ~0.5 s fetch-latency jitter
+    of the tunneled runtime, so keep sampling (up to 3x the requested
+    repeats) until the delta clears the jitter."""
+
+    def run(f):
+        r = f(example)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0]
+
+    run(f_lo)  # compile both
+    run(f_hi)
+    lo_times, hi_times = [], []
+    for attempt in range(3 * repeats):
+        t0 = time.perf_counter()
+        run(f_lo)
+        lo_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(f_hi)
+        hi_times.append(time.perf_counter() - t0)
+        if attempt + 1 >= repeats and min(hi_times) - min(lo_times) > 0:
+            break
+    diff = min(hi_times) - min(lo_times)
+    if diff <= 0:
+        raise RuntimeError(
+            f"chained timing inconclusive: hi={min(hi_times):.3f}s "
+            f"lo={min(lo_times):.3f}s — increase n_hi"
+        )
+    return diff / (n_hi - n_lo)
+
+
 def time_chained(
     fn: Callable,
     example_input: jax.Array,
@@ -40,31 +72,26 @@ def time_chained(
 
         return jax.jit(lambda v: lax.fori_loop(0, n, body, v), static_argnums=())
 
-    f_lo, f_hi = chained(n_lo), chained(n_hi)
+    return _measure_diff(
+        chained(n_lo), chained(n_hi), example_input, n_lo, n_hi, repeats
+    )
 
-    def run(f):
-        r = f(example_input)
-        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0]
 
-    run(f_lo)  # compile both
-    run(f_hi)
-    lo_times, hi_times = [], []
-    # Difference the best-case runs: per-repeat differences go negative under
-    # the ~0.5 s fetch-latency jitter of the tunneled runtime. Keep sampling
-    # (up to 3x the requested repeats) until the delta clears the jitter.
-    for attempt in range(3 * repeats):
-        t0 = time.perf_counter()
-        run(f_lo)
-        lo_times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        run(f_hi)
-        hi_times.append(time.perf_counter() - t0)
-        if attempt + 1 >= repeats and min(hi_times) - min(lo_times) > 0:
-            break
-    diff = min(hi_times) - min(lo_times)
-    if diff <= 0:
-        raise RuntimeError(
-            f"chained timing inconclusive: hi={min(hi_times):.3f}s "
-            f"lo={min(lo_times):.3f}s — increase n_hi"
-        )
-    return diff / (n_hi - n_lo)
+def time_chained_carry(
+    fn: Callable,
+    carry,
+    n_lo: int = 2,
+    n_hi: int = 16,
+    repeats: int = 3,
+) -> float:
+    """Seconds per fn() application for a self-chaining step.
+
+    fn: carry pytree -> carry pytree (e.g. a train step closed over its
+    batch). Iterations serialize naturally through the carried state, so no
+    artificial dependency injection is needed.
+    """
+
+    def chained(n):
+        return jax.jit(lambda c: lax.fori_loop(0, n, lambda i, c: fn(c), c))
+
+    return _measure_diff(chained(n_lo), chained(n_hi), carry, n_lo, n_hi, repeats)

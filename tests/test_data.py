@@ -13,6 +13,8 @@ from rubiksnet_tpu.data import (
     Stack,
     ToClipArray,
     batch_iterator,
+    sample_all_indices,
+    sample_dense_indices,
     sample_test_indices,
     sample_train_indices,
     sample_val_indices,
@@ -63,6 +65,62 @@ def test_train_indices_random_segments():
     assert np.all(idx % 2 == 0)
     assert np.all(np.diff(idx) > 0) or True  # segments ordered by construction
     assert idx.min() >= 2 and idx.max() <= 64
+
+
+def test_dense_indices_train_val():
+    """Oracle-match dataset/core.py:95-116 (train) == 167-188 (val): random
+    start in [0, sample_pos-1), strided modular offsets, even doubling."""
+    for num_frames, only_even in [(128, True), (128, False), (20, True), (4, False)]:
+        rng = np.random.RandomState(7)
+        idx = sample_dense_indices(num_frames, 8, only_even=only_even, rng=rng)
+        # reference transcription with an identically seeded rng
+        ref_rng = np.random.RandomState(7)
+        eff = num_frames // 2 if only_even else num_frames
+        window = 32 if only_even else 64
+        sample_pos = max(1, 1 + eff - window)
+        t_stride = window // 8
+        start = 0 if sample_pos == 1 else ref_rng.randint(0, sample_pos - 1)
+        offsets = np.array([(i * t_stride + start) % eff for i in range(8)])
+        expected = (offsets + 1) * 2 if only_even else offsets + 1
+        np.testing.assert_array_equal(idx, expected)
+
+
+def test_all_indices_train_val():
+    """Oracle-match dataset/core.py:118-125 == 189-196: contiguous window at
+    a random start, no even doubling regardless of only_even."""
+    for num_frames in [40, 8, 3]:
+        rng = np.random.RandomState(3)
+        idx = sample_all_indices(num_frames, 8, rng=rng)
+        ref_rng = np.random.RandomState(3)
+        sample_pos = max(1, 1 + num_frames - 8)
+        start = 0 if sample_pos == 1 else ref_rng.randint(0, sample_pos - 1)
+        expected = np.array([(i + start) % num_frames for i in range(8)]) + 1
+        np.testing.assert_array_equal(idx, expected)
+        assert idx.min() >= 1 and idx.max() <= num_frames
+
+
+def test_dataset_routes_dense_all_in_train_mode(tmp_path):
+    """indices_for must use dense/all samplers when test_mode=False
+    (previously only the test path honored them)."""
+    list_file = tmp_path / "l.txt"
+    list_file.write_text("vid0 64 0\n")
+    for kwargs, n in [
+        (dict(dense_sample=True), 8),
+        (dict(all_sample=True), 8),
+    ]:
+        ds = RubiksDataset(
+            str(tmp_path), str(list_file), num_segments=8,
+            random_shift=True, test_mode=False, only_even_indices=True,
+            seed=0, **kwargs,
+        )
+        rec = ds.video_list[0]
+        idx = ds.indices_for(rec)
+        assert len(idx) == n
+        # dense honors even doubling; all_sample never doubles
+        if "dense_sample" in kwargs:
+            assert np.all(idx % 2 == 0)
+        else:
+            assert idx.max() <= 64
 
 
 def test_short_video_indices():

@@ -95,3 +95,49 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_initialize_distributed_single_host_noop(monkeypatch):
+    """With no coordinator configured, initialize_distributed must be a safe
+    no-op returning False (single-process SPMD unchanged)."""
+    from rubiksnet_tpu.parallel import initialize_distributed
+
+    for var in (
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False
+
+
+def test_initialize_distributed_forwards_args(monkeypatch):
+    """Explicit coordinator args must be forwarded to
+    jax.distributed.initialize."""
+    import jax
+
+    from rubiksnet_tpu.parallel import initialize_distributed
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    ok = initialize_distributed(
+        coordinator_address="10.0.0.1:1234", num_processes=4, process_id=2
+    )
+    assert ok is True
+    assert calls["coordinator_address"] == "10.0.0.1:1234"
+    assert calls["num_processes"] == 4
+    assert calls["process_id"] == 2
+
+
+def test_initialize_distributed_single_worker_hostname(monkeypatch):
+    """TPU VMs export TPU_WORKER_HOSTNAMES even single-host; one hostname
+    must not trigger multi-process init."""
+    from rubiksnet_tpu.parallel import initialize_distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False
