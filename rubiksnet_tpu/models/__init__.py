@@ -9,7 +9,13 @@ from .rubiksnet import (
     create_rubiksnet,
     from_ntchw,
 )
-from .pretrained import load_pretrained, save_checkpoint, load_checkpoint
+from .pretrained import (
+    convert_torch_state_dict,
+    export_torch_state_dict,
+    load_checkpoint,
+    load_pretrained,
+    save_checkpoint,
+)
 
 __all__ = [
     "RubiksNet",
@@ -19,6 +25,8 @@ __all__ = [
     "load_pretrained",
     "save_checkpoint",
     "load_checkpoint",
+    "convert_torch_state_dict",
+    "export_torch_state_dict",
     "TIERS",
     "VARIANTS",
     "INPUT_MEAN",
