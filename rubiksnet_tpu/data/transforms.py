@@ -1,13 +1,26 @@
-"""Clip-level (group) transforms.
+"""Clip-level (group) transforms, TPU-native design.
 
-Port of rubiksnet/transforms.py without the torchvision dependency: the same
-13 transform classes operating on lists of PIL images, with PIL bilinear
-resize kept on the PIL path for eval parity (the reference's GroupScale wraps
-torchvision Resize which calls PIL). The terminal transforms produce
-channel-last numpy clips (T*, H, W, 3) instead of the reference's
-HW(T*C) ndarray -> CHW tensor dance (transforms.py:329-363, whose HWC->CHW
-transpose was "80% of the loading time" — channel-last needs no transpose at
-all, and normalization is a single vectorized expression).
+Covers the same 13-transform surface as rubiksnet/transforms.py but with a
+different architecture: frames are stacked into ONE channel-last uint8 array
+(T, H, W, C) as early as possible, crop geometry is expressed as pure offset
+tables (`fix_crop_anchors`, `horizontal_3crop_offsets`), and every multi-view
+eval crop (center / 3-crop / 5-crop / flips) is array slicing on that clip —
+no per-frame PIL crop loops. PIL is kept only where its anti-aliased bilinear
+resampling is needed for eval parity (shorter-side scale, and the fused
+crop+resize of the training crops via ``Image.resize(..., box=...)``).
+
+The reference pipeline's CPU hot spot was the HW(T*C) stack + HWC->CHW
+transpose (its transforms.py:361 comments "80% of the loading time");
+channel-last stacking eliminates the transpose entirely.
+
+Parity notes (geometry must match bit-exactly for eval):
+  * 3-crop offsets: left/right/center on the (image-crop)/4 step grid,
+    matching rubiksnet/transforms.py:164-167.
+  * 13 fixed multi-scale anchors: the 5 corner/center anchors plus 8 edge /
+    quarter anchors, matching transforms.py:256-276.
+  * crop-size snapping: candidate sizes within 3px of the target snap to it,
+    and (w, h) pairs are limited to |scale_i - scale_j| <= max_distort
+    (transforms.py:215-233).
 """
 
 from __future__ import annotations
@@ -17,7 +30,7 @@ import numbers
 import random
 
 import numpy as np
-from PIL import Image, ImageOps
+from PIL import Image
 
 __all__ = [
     "GroupRandomCrop",
@@ -46,94 +59,104 @@ class Compose:
         return x
 
 
+# --------------------------------------------------------------- primitives
+
+
+def as_clip_array(frames) -> np.ndarray:
+    """List of PIL images (or an already-stacked array) -> (T, H, W, C) uint8.
+
+    Grayscale frames get an explicit channel axis so flow clips keep their
+    per-frame structure."""
+    if isinstance(frames, np.ndarray):
+        return frames
+    arrs = []
+    for f in frames:
+        a = np.asarray(f)
+        arrs.append(a[:, :, None] if a.ndim == 2 else a)
+    return np.stack(arrs, axis=0)
+
+
+def _clip_size(clip: np.ndarray):
+    """(width, height) of a stacked clip."""
+    return clip.shape[2], clip.shape[1]
+
+
+def _flip_lr(clip: np.ndarray, flow_invert: bool) -> np.ndarray:
+    """Horizontal flip; for flow clips (single channel, x/y interleaved by
+    frame) the x-component frames (even indices) are inverted, mirroring the
+    reference's ImageOps.invert on mode-'L' even frames."""
+    out = clip[:, :, ::-1]
+    if flow_invert and clip.shape[-1] == 1:
+        out = out.copy()
+        out[0::2] = 255 - out[0::2]
+    return out
+
+
+def crop_view(clip: np.ndarray, ow: int, oh: int, cw: int, ch: int) -> np.ndarray:
+    """One crop as a zero-copy view of the stacked clip."""
+    return clip[:, oh : oh + ch, ow : ow + cw]
+
+
+def multi_view_crop(clip, offsets, cw, ch, flip: bool) -> np.ndarray:
+    """All views of an eval-time multi-crop in one array.
+
+    For each offset: the crop, then (when flip is on) its mirror — the same
+    view ordering the reference produces, so downstream consensus averaging
+    sees identical clips."""
+    is_flow = clip.shape[-1] == 1
+    views = []
+    for ow, oh in offsets:
+        v = crop_view(clip, ow, oh, cw, ch)
+        views.append(v)
+        if flip:
+            views.append(_flip_lr(v, is_flow))
+    return np.concatenate(views, axis=0)
+
+
+def fix_crop_anchors(image_w, image_h, crop_w, crop_h, extended=True):
+    """Canonical fixed-crop anchor table on the quarter-step grid.
+
+    The 5 base anchors are the 4 corners + center; ``extended`` adds the 4
+    edge midpoints and 4 quarter positions for 13 total. Equivalent offset
+    set to the reference's fill_fix_offset (transforms.py:256-276)."""
+    sw = (image_w - crop_w) // 4
+    sh = (image_h - crop_h) // 4
+    anchors = [(0, 0), (4, 0), (0, 4), (4, 4), (2, 2)]
+    if extended:
+        anchors += [(0, 2), (4, 2), (2, 4), (2, 0), (1, 1), (3, 1), (1, 3), (3, 3)]
+    return [(ax * sw, ay * sh) for ax, ay in anchors]
+
+
+def horizontal_3crop_offsets(image_w, image_h, crop_w, crop_h):
+    """Left / right / center at vertical center — the 2-clip eval protocol's
+    spatial views (geometry of reference transforms.py:164-167)."""
+    sw = (image_w - crop_w) // 4
+    sh = (image_h - crop_h) // 4
+    return [(0, 2 * sh), (4 * sw, 2 * sh), (2 * sw, 2 * sh)]
+
+
+def _pair(size):
+    if isinstance(size, numbers.Number):
+        return int(size), int(size)
+    return int(size[0]), int(size[1])
+
+
 def _scale_shorter_side(img, size, interpolation=Image.BILINEAR):
     """Shorter-side resize, matching torchvision.transforms.Resize(int)."""
     w, h = img.size
     if (w <= h and w == size) or (h <= w and h == size):
         return img
     if w < h:
-        ow = size
-        oh = int(size * h / w)
-    else:
-        oh = size
-        ow = int(size * w / h)
-    return img.resize((ow, oh), interpolation)
+        return img.resize((size, int(size * h / w)), interpolation)
+    return img.resize((int(size * w / h), size), interpolation)
 
 
-def _center_crop(img, th, tw):
-    w, h = img.size
-    x1 = int(round((w - tw) / 2.0))
-    y1 = int(round((h - th) / 2.0))
-    return img.crop((x1, y1, x1 + tw, y1 + th))
-
-
-class GroupRandomCrop:
-    """transforms.py:10-34."""
-
-    def __init__(self, size):
-        if isinstance(size, numbers.Number):
-            self.size = (int(size), int(size))
-        else:
-            self.size = size
-
-    def __call__(self, img_group):
-        w, h = img_group[0].size
-        th, tw = self.size
-        x1 = random.randint(0, w - tw)
-        y1 = random.randint(0, h - th)
-        out = []
-        for img in img_group:
-            assert img.size[0] == w and img.size[1] == h
-            if w == tw and h == th:
-                out.append(img)
-            else:
-                out.append(img.crop((x1, y1, x1 + tw, y1 + th)))
-        return out
-
-
-class GroupCenterCrop:
-    """transforms.py:37-42."""
-
-    def __init__(self, size):
-        if isinstance(size, numbers.Number):
-            size = (int(size), int(size))
-        self.size = size
-
-    def __call__(self, img_group):
-        th, tw = self.size
-        return [_center_crop(img, th, tw) for img in img_group]
-
-
-class GroupRandomHorizontalFlip:
-    """transforms.py:45-63 (flow-pair inversion included)."""
-
-    def __init__(self, is_flow=False):
-        self.is_flow = is_flow
-
-    def __call__(self, img_group):
-        if random.random() < 0.5:
-            ret = [img.transpose(Image.FLIP_LEFT_RIGHT) for img in img_group]
-            if self.is_flow:
-                for i in range(0, len(ret), 2):
-                    ret[i] = ImageOps.invert(ret[i])
-            return ret
-        return img_group
-
-
-class GroupNormalize:
-    """Per-channel normalization on a channel-last numpy clip
-    (replaces the in-place loop of transforms.py:66-79)."""
-
-    def __init__(self, mean, std):
-        self.mean = np.asarray(mean, np.float32)
-        self.std = np.asarray(std, np.float32)
-
-    def __call__(self, clip):
-        return (clip - self.mean) / self.std
+# ------------------------------------------------------------- PIL stage
 
 
 class GroupScale:
-    """Shorter-side bilinear rescale (transforms.py:82-95)."""
+    """Shorter-side bilinear rescale on PIL frames (anti-aliased resampling
+    is load-bearing for eval parity, so this stage stays PIL)."""
 
     def __init__(self, size, interpolation=Image.BILINEAR):
         self.size = size
@@ -146,226 +169,225 @@ class GroupScale:
         ]
 
 
-class GroupOverSample:
-    """5-crop (+ flips) oversampling (transforms.py:98-138)."""
+# ------------------------------------------------------------ array stage
 
-    def __init__(self, crop_size, scale_size=None, flip=True):
-        self.crop_size = (
-            crop_size if not isinstance(crop_size, int) else (crop_size, crop_size)
-        )
-        self.scale_worker = GroupScale(scale_size) if scale_size is not None else None
-        self.flip = flip
 
-    def __call__(self, img_group):
-        if self.scale_worker is not None:
-            img_group = self.scale_worker(img_group)
-        image_w, image_h = img_group[0].size
-        crop_w, crop_h = self.crop_size
-        offsets = GroupMultiScaleCrop.fill_fix_offset(
-            False, image_w, image_h, crop_w, crop_h
-        )
-        oversample_group = []
-        for o_w, o_h in offsets:
-            normal_group = []
-            flip_group = []
-            for i, img in enumerate(img_group):
-                crop = img.crop((o_w, o_h, o_w + crop_w, o_h + crop_h))
-                normal_group.append(crop)
-                flip_crop = crop.copy().transpose(Image.FLIP_LEFT_RIGHT)
-                if img.mode == "L" and i % 2 == 0:
-                    flip_group.append(ImageOps.invert(flip_crop))
-                else:
-                    flip_group.append(flip_crop)
-            oversample_group.extend(normal_group)
-            if self.flip:
-                oversample_group.extend(flip_group)
-        return oversample_group
+class GroupCenterCrop:
+    """Center crop via array slicing (round-half-up center, matching
+    torchvision CenterCrop)."""
+
+    def __init__(self, size):
+        self.size = _pair(size)
+
+    def __call__(self, frames):
+        clip = as_clip_array(frames)
+        th, tw = self.size
+        w, h = _clip_size(clip)
+        ow = int(round((w - tw) / 2.0))
+        oh = int(round((h - th) / 2.0))
+        return crop_view(clip, ow, oh, tw, th)
+
+
+class GroupRandomCrop:
+    """One random crop shared by all frames of the clip."""
+
+    def __init__(self, size):
+        self.size = _pair(size)
+
+    def __call__(self, frames):
+        clip = as_clip_array(frames)
+        th, tw = self.size
+        w, h = _clip_size(clip)
+        ow = random.randint(0, w - tw)
+        oh = random.randint(0, h - th)
+        return crop_view(clip, ow, oh, tw, th)
+
+
+class GroupRandomHorizontalFlip:
+    """50% horizontal flip of the whole clip (flow x-frames inverted)."""
+
+    def __init__(self, is_flow=False):
+        self.is_flow = is_flow
+
+    def __call__(self, frames):
+        clip = as_clip_array(frames)
+        if random.random() < 0.5:
+            return _flip_lr(clip, self.is_flow)
+        return clip
 
 
 class GroupFullResSample:
-    """3 horizontal crops (left/right/center) ± flips — the 2-clip eval crop
-    (transforms.py:141-186; offsets at 164-167)."""
+    """3 horizontal crops (left/right/center) ± mirrors — the 2-clip eval
+    protocol's spatial views, as one vectorized multi-crop."""
 
     def __init__(self, crop_size, scale_size=None, flip=True):
-        self.crop_size = (
-            crop_size if not isinstance(crop_size, int) else (crop_size, crop_size)
-        )
+        self.crop_size = _pair(crop_size)
         self.scale_worker = GroupScale(scale_size) if scale_size is not None else None
         self.flip = flip
 
     def __call__(self, img_group):
         if self.scale_worker is not None:
             img_group = self.scale_worker(img_group)
-        image_w, image_h = img_group[0].size
-        crop_w, crop_h = self.crop_size
-        w_step = (image_w - crop_w) // 4
-        h_step = (image_h - crop_h) // 4
-        offsets = [
-            (0 * w_step, 2 * h_step),  # left
-            (4 * w_step, 2 * h_step),  # right
-            (2 * w_step, 2 * h_step),  # center
-        ]
-        oversample_group = []
-        for o_w, o_h in offsets:
-            normal_group = []
-            flip_group = []
-            for i, img in enumerate(img_group):
-                crop = img.crop((o_w, o_h, o_w + crop_w, o_h + crop_h))
-                normal_group.append(crop)
-                if self.flip:
-                    flip_crop = crop.copy().transpose(Image.FLIP_LEFT_RIGHT)
-                    if img.mode == "L" and i % 2 == 0:
-                        flip_group.append(ImageOps.invert(flip_crop))
-                    else:
-                        flip_group.append(flip_crop)
-            oversample_group.extend(normal_group)
-            oversample_group.extend(flip_group)
-        return oversample_group
+        clip = as_clip_array(img_group)
+        cw, ch = self.crop_size
+        w, h = _clip_size(clip)
+        return multi_view_crop(
+            clip, horizontal_3crop_offsets(w, h, cw, ch), cw, ch, self.flip
+        )
+
+
+class GroupOverSample:
+    """Classic 5-crop (+ mirrors) oversampling as one vectorized multi-crop."""
+
+    def __init__(self, crop_size, scale_size=None, flip=True):
+        self.crop_size = _pair(crop_size)
+        self.scale_worker = GroupScale(scale_size) if scale_size is not None else None
+        self.flip = flip
+
+    def __call__(self, img_group):
+        if self.scale_worker is not None:
+            img_group = self.scale_worker(img_group)
+        clip = as_clip_array(img_group)
+        cw, ch = self.crop_size
+        w, h = _clip_size(clip)
+        offsets = fix_crop_anchors(w, h, cw, ch, extended=False)
+        return multi_view_crop(clip, offsets, cw, ch, self.flip)
 
 
 class GroupMultiScaleCrop:
-    """Scale-jittered crop from 13 fixed offsets (transforms.py:189-278)."""
+    """Training crop: pick a jittered crop size from the scale table and one
+    of the 13 fixed anchors, then crop + bilinear-resize each frame.
+
+    (Crop and resize stay two explicit PIL steps: PIL's fused
+    ``resize(box=...)`` samples across the box border and diverges from the
+    reference's crop-then-resize at the edges.)"""
 
     def __init__(
         self, input_size, scales=None, max_distort=1, fix_crop=True, more_fix_crop=True
     ):
-        self.scales = scales if scales is not None else [1, 0.875, 0.75, 0.66]
+        self.scales = list(scales) if scales is not None else [1, 0.875, 0.75, 0.66]
         self.max_distort = max_distort
         self.fix_crop = fix_crop
         self.more_fix_crop = more_fix_crop
-        self.input_size = (
-            input_size if not isinstance(input_size, int) else [input_size, input_size]
-        )
+        self.input_size = _pair(input_size)
         self.interpolation = Image.BILINEAR
 
-    def __call__(self, img_group):
-        im_size = img_group[0].size
-        crop_w, crop_h, offset_w, offset_h = self._sample_crop_size(im_size)
-        crop_img_group = [
-            img.crop((offset_w, offset_h, offset_w + crop_w, offset_h + crop_h))
-            for img in img_group
-        ]
-        return [
-            img.resize((self.input_size[0], self.input_size[1]), self.interpolation)
-            for img in crop_img_group
-        ]
+    def _snap(self, candidate, target):
+        """Candidate sizes within 3px of the network input snap to it."""
+        return target if abs(candidate - target) < 3 else candidate
 
-    def _sample_crop_size(self, im_size):
-        image_w, image_h = im_size[0], im_size[1]
-        base_size = min(image_w, image_h)
-        crop_sizes = [int(base_size * x) for x in self.scales]
-        crop_h = [
-            self.input_size[1] if abs(x - self.input_size[1]) < 3 else x
-            for x in crop_sizes
+    def _choose_geometry(self, image_w, image_h):
+        """(crop_w, crop_h, offset_w, offset_h) sampled per the reference's
+        distribution: scale pair limited by max_distort, anchor from the
+        fixed table (or uniform when fix_crop is off)."""
+        base = min(image_w, image_h)
+        tw, th = self.input_size
+        ws = [self._snap(int(base * s), tw) for s in self.scales]
+        hs = [self._snap(int(base * s), th) for s in self.scales]
+        candidates = [
+            (w, h)
+            for i, h in enumerate(hs)
+            for j, w in enumerate(ws)
+            if abs(i - j) <= self.max_distort
         ]
-        crop_w = [
-            self.input_size[0] if abs(x - self.input_size[0]) < 3 else x
-            for x in crop_sizes
-        ]
-        pairs = []
-        for i, h in enumerate(crop_h):
-            for j, w in enumerate(crop_w):
-                if abs(i - j) <= self.max_distort:
-                    pairs.append((w, h))
-        crop_pair = random.choice(pairs)
-        if not self.fix_crop:
-            w_offset = random.randint(0, image_w - crop_pair[0])
-            h_offset = random.randint(0, image_h - crop_pair[1])
+        cw, ch = random.choice(candidates)
+        if self.fix_crop:
+            anchors = fix_crop_anchors(
+                image_w, image_h, cw, ch, extended=self.more_fix_crop
+            )
+            ow, oh = random.choice(anchors)
         else:
-            w_offset, h_offset = self._sample_fix_offset(
-                image_w, image_h, crop_pair[0], crop_pair[1]
-            )
-        return crop_pair[0], crop_pair[1], w_offset, h_offset
+            ow = random.randint(0, image_w - cw)
+            oh = random.randint(0, image_h - ch)
+        return cw, ch, ow, oh
 
-    def _sample_fix_offset(self, image_w, image_h, crop_w, crop_h):
-        offsets = self.fill_fix_offset(
-            self.more_fix_crop, image_w, image_h, crop_w, crop_h
+    def __call__(self, img_group):
+        w, h = img_group[0].size
+        cw, ch, ow, oh = self._choose_geometry(w, h)
+        return as_clip_array(
+            [
+                img.crop((ow, oh, ow + cw, oh + ch)).resize(
+                    self.input_size, self.interpolation
+                )
+                for img in img_group
+            ]
         )
-        return random.choice(offsets)
-
-    @staticmethod
-    def fill_fix_offset(more_fix_crop, image_w, image_h, crop_w, crop_h):
-        w_step = (image_w - crop_w) // 4
-        h_step = (image_h - crop_h) // 4
-        ret = [
-            (0, 0),
-            (4 * w_step, 0),
-            (0, 4 * h_step),
-            (4 * w_step, 4 * h_step),
-            (2 * w_step, 2 * h_step),
-        ]
-        if more_fix_crop:
-            ret.extend(
-                [
-                    (0, 2 * h_step),
-                    (4 * w_step, 2 * h_step),
-                    (2 * w_step, 4 * h_step),
-                    (2 * w_step, 0 * h_step),
-                    (1 * w_step, 1 * h_step),
-                    (3 * w_step, 1 * h_step),
-                    (1 * w_step, 3 * h_step),
-                    (3 * w_step, 3 * h_step),
-                ]
-            )
-        return ret
 
 
 class GroupRandomSizedCrop:
-    """Inception-style random sized crop (transforms.py:281-326)."""
+    """Inception-style area/aspect jittered crop + resize per frame; falls
+    back to scale + random crop when no geometry fits."""
 
     def __init__(self, size, interpolation=Image.BILINEAR):
-        self.size = size
+        self.size = _pair(size)
         self.interpolation = interpolation
 
-    def __call__(self, img_group):
-        found = False
-        x1 = y1 = 0
-        w = h = 0
+    def _try_geometry(self, image_w, image_h):
         for _ in range(10):
-            area = img_group[0].size[0] * img_group[0].size[1]
-            target_area = random.uniform(0.08, 1.0) * area
-            aspect_ratio = random.uniform(3.0 / 4, 4.0 / 3)
-            w = int(round(math.sqrt(target_area * aspect_ratio)))
-            h = int(round(math.sqrt(target_area / aspect_ratio)))
+            target_area = random.uniform(0.08, 1.0) * image_w * image_h
+            aspect = random.uniform(3.0 / 4, 4.0 / 3)
+            w = int(round(math.sqrt(target_area * aspect)))
+            h = int(round(math.sqrt(target_area / aspect)))
             if random.random() < 0.5:
                 w, h = h, w
-            if w <= img_group[0].size[0] and h <= img_group[0].size[1]:
-                x1 = random.randint(0, img_group[0].size[0] - w)
-                y1 = random.randint(0, img_group[0].size[1] - h)
-                found = True
-                break
-        if found:
-            out = []
-            for img in img_group:
-                img = img.crop((x1, y1, x1 + w, y1 + h))
-                out.append(img.resize((self.size, self.size), self.interpolation))
-            return out
-        scale = GroupScale(self.size, interpolation=self.interpolation)
-        crop = GroupRandomCrop(self.size)
-        return crop(scale(img_group))
+            if w <= image_w and h <= image_h:
+                return (
+                    w,
+                    h,
+                    random.randint(0, image_w - w),
+                    random.randint(0, image_h - h),
+                )
+        return None
+
+    def __call__(self, img_group):
+        geom = self._try_geometry(*img_group[0].size)
+        if geom is None:
+            fallback = Compose(
+                [GroupScale(self.size[0], self.interpolation),
+                 GroupRandomCrop(self.size)]
+            )
+            return fallback(img_group)
+        w, h, ow, oh = geom
+        return as_clip_array(
+            [
+                img.crop((ow, oh, ow + w, oh + h)).resize(
+                    self.size, self.interpolation
+                )
+                for img in img_group
+            ]
+        )
+
+
+# --------------------------------------------------------------- terminal
+
+
+class GroupNormalize:
+    """Per-channel normalization on a channel-last float clip."""
+
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, clip):
+        return (clip - self.mean) / self.std
 
 
 class Stack:
-    """List of PIL frames -> channel-last (n_frames, H, W, C) uint8 array.
+    """Frames -> channel-last (n_frames, H, W, C) uint8 array.
 
-    TPU-native replacement for transforms.py:329-342: no channel concat, no
-    HWC->CHW transpose (the reference's CPU hot spot, transforms.py:361)."""
+    With the array-stage transforms above this is usually a passthrough; it
+    stacks only when handed a raw PIL list. ``roll`` swaps RGB->BGR."""
 
     def __init__(self, roll=False):
         self.roll = roll
 
-    def __call__(self, img_group):
-        arrs = [np.asarray(img) for img in img_group]
-        arrs = [a[:, :, None] if a.ndim == 2 else a for a in arrs]
-        out = np.stack(arrs, axis=0)
-        if self.roll:
-            out = out[:, :, :, ::-1]
-        return out
+    def __call__(self, frames):
+        clip = as_clip_array(frames)
+        return clip[:, :, :, ::-1] if self.roll else clip
 
 
 class ToClipArray:
-    """uint8 (n, H, W, C) -> float32 in [0, 1] (replaces
-    ToTorchFormatTensor, transforms.py:345-363, minus the transpose)."""
+    """uint8 (n, H, W, C) -> float32 in [0, 1]."""
 
     def __init__(self, div=True):
         self.div = div

@@ -162,6 +162,105 @@ def test_group_normalize_channel_last():
     np.testing.assert_allclose(out[..., 2], 1.0)
 
 
+def _textured_frames(n, w=96, h=72, channels=3):
+    rng = np.random.RandomState(5)
+    out = []
+    for _ in range(n):
+        arr = rng.randint(0, 255, (h, w, channels), dtype=np.uint8)
+        out.append(Image.fromarray(arr.squeeze() if channels == 1 else arr))
+    return out
+
+
+def test_full_res_sample_values_match_pil_loop():
+    """The vectorized 3-crop (+flip) must equal per-frame PIL crops at the
+    reference offsets (transforms.py:164-167), in the reference's view
+    order (per offset: normal frames then mirrored frames)."""
+    frames = _textured_frames(3)
+    got = GroupFullResSample(48, scale_size=None, flip=True)(frames)
+    w, h = frames[0].size
+    sw, sh = (w - 48) // 4, (h - 48) // 4
+    offsets = [(0, 2 * sh), (4 * sw, 2 * sh), (2 * sw, 2 * sh)]
+    expected = []
+    for ow, oh in offsets:
+        crops = [np.asarray(f.crop((ow, oh, ow + 48, oh + 48))) for f in frames]
+        expected.extend(crops)
+        expected.extend([c[:, ::-1] for c in crops])
+    np.testing.assert_array_equal(got, np.stack(expected))
+
+
+def test_oversample_5crop_values_match_pil_loop():
+    from rubiksnet_tpu.data import GroupOverSample
+
+    frames = _textured_frames(2)
+    got = GroupOverSample(48, scale_size=None, flip=True)(frames)
+    w, h = frames[0].size
+    sw, sh = (w - 48) // 4, (h - 48) // 4
+    offsets = [(0, 0), (4 * sw, 0), (0, 4 * sh), (4 * sw, 4 * sh), (2 * sw, 2 * sh)]
+    expected = []
+    for ow, oh in offsets:
+        crops = [np.asarray(f.crop((ow, oh, ow + 48, oh + 48))) for f in frames]
+        expected.extend(crops)
+        expected.extend([c[:, ::-1] for c in crops])
+    assert got.shape == (20, 48, 48, 3)  # 5 crops x 2 views x 2 frames
+    np.testing.assert_array_equal(got, np.stack(expected))
+
+
+def test_flow_flip_inverts_even_frames():
+    from rubiksnet_tpu.data.transforms import _flip_lr, as_clip_array
+
+    frames = _textured_frames(4, channels=1)
+    clip = as_clip_array(frames)
+    flipped = _flip_lr(clip, flow_invert=True)
+    np.testing.assert_array_equal(flipped[0], 255 - clip[0, :, ::-1])
+    np.testing.assert_array_equal(flipped[1], clip[1, :, ::-1])
+
+
+def test_multi_scale_crop_geometry_distribution():
+    """All sampled geometries must come from the reference candidate set:
+    snapped scale pairs with |i-j| <= max_distort, anchored on the 13-point
+    fixed grid (transforms.py:215-276)."""
+    from rubiksnet_tpu.data import GroupMultiScaleCrop
+
+    t = GroupMultiScaleCrop(48, scales=[1, 0.875, 0.75, 0.66])
+    w, h = 96, 72
+    base = min(w, h)
+    sizes = [int(base * s) for s in [1, 0.875, 0.75, 0.66]]
+    snapped = [48 if abs(s - 48) < 3 else s for s in sizes]
+    valid_pairs = {
+        (snapped[j], snapped[i])
+        for i in range(4)
+        for j in range(4)
+        if abs(i - j) <= 1
+    }
+    for _ in range(50):
+        cw, ch, ow, oh = t._choose_geometry(w, h)
+        assert (cw, ch) in valid_pairs
+        sw, sh = (w - cw) // 4, (h - ch) // 4
+        assert ow % max(sw, 1) == 0 or sw == 0
+        assert 0 <= ow <= w - cw and 0 <= oh <= h - ch
+
+
+def test_multi_scale_crop_equals_crop_then_resize(monkeypatch):
+    """Fused resize(box=...) must equal the two-step crop + resize."""
+    from rubiksnet_tpu.data import GroupMultiScaleCrop
+
+    frames = _textured_frames(2)
+    t = GroupMultiScaleCrop(48)
+    monkeypatch.setattr(
+        t, "_choose_geometry", lambda w, h: (60, 54, 12, 6)
+    )
+    got = t(frames)
+    expected = np.stack(
+        [
+            np.asarray(
+                f.crop((12, 6, 72, 60)).resize((48, 48), Image.BILINEAR)
+            )
+            for f in frames
+        ]
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_dataset_and_batching(tmp_path):
     # build a tiny frame-folder dataset: 5 videos x 12 frames
     root = tmp_path / "rgb"
