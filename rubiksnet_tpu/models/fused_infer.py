@@ -1,0 +1,133 @@
+"""Fused inference executor: the whole RubiksNet forward with eligible block
+runs dispatched to the multi-block Pallas kernel (ops/pallas/fused_block.py).
+
+This is a pure execution strategy over the ordinary parameter pytree — the
+variables are exactly those of models/rubiksnet.py::RubiksNet (same names,
+same shapes, same checkpoints); only the compute schedule changes. Blocks the
+kernel cannot take (stage-entry blocks with stride 2 / channel growth, SE
+variants, AQ attention) run through the regular flax module path, so any
+tier/variant still works end-to-end.
+
+Mirrors the forward of rubiksnet/models.py:112-117 + backbone.py:156-218.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.backbone import RubiksShiftBlock, conv_init
+from ..ops.pallas.fused_block import (
+    fold_bn,
+    fused_block_run,
+    fused_block_supported,
+    stack_block_params,
+)
+from .rubiksnet import TIERS, RubiksNet
+
+
+def _block_plan(model: RubiksNet):
+    """Reproduce the backbone's block layout: (name, in, out, stride)."""
+    width, repeats, use_se = TIERS[model.tier]
+    widths = [
+        (width, 1, 1),
+        (width, repeats[0], 2),
+        (2 * width, repeats[1], 2),
+        (4 * width, repeats[2], 2),
+        (8 * width, repeats[3], 2),
+    ]
+    plan = []
+    in_planes = width
+    for stage_idx, (planes, repeat, stride) in enumerate(widths):
+        for b in range(repeat):
+            plan.append((
+                f"layer{stage_idx}_{b}",
+                in_planes,
+                planes,
+                stride if b == 0 else 1,
+            ))
+            in_planes = planes
+    return plan, use_se
+
+
+def _apply_unfused_block(model, name, in_planes, out_planes, stride, use_se,
+                         params, stats, x):
+    block = RubiksShiftBlock(
+        in_planes=in_planes,
+        out_planes=out_planes,
+        stride=stride,
+        use_se=use_se,
+        variant=model.variant,
+        shift_backend=model.shift_backend,
+        shift_max_shift=model.shift_max_shift,
+        dtype=model.dtype,
+    )
+    return block.apply(
+        {"params": params[name], "batch_stats": stats[name]}, x, False
+    )
+
+
+def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
+    """Inference forward equal to model.apply(variables, video, train=False),
+    with runs of fusable blocks executed by the Pallas kernel."""
+    assert video.ndim == 5 and video.shape[-1] == 3
+    params = variables["params"]["backbone"]
+    stats = variables["batch_stats"]["backbone"]
+    plan, use_se = _block_plan(model)
+    dtype = model.dtype
+
+    stem = nn.Conv(
+        TIERS[model.tier][0], (3, 3), strides=(2, 2),
+        padding=((1, 1), (1, 1)), use_bias=False, kernel_init=conv_init,
+        dtype=dtype, name="conv1",
+    )
+    x = stem.apply({"params": params["conv1"]}, video)
+
+    def fusable(name, cin, cout, stride, shape):
+        return (
+            stride == 1
+            and cin == cout
+            and model.variant == "rubiks3d"
+            and not use_se
+            and fused_block_supported(shape, model.shift_max_shift, dtype)
+        )
+
+    i = 0
+    while i < len(plan):
+        name, cin, cout, stride = plan[i]
+        if fusable(name, cin, cout, stride, x.shape):
+            run = [plan[i]]
+            j = i + 1
+            while j < len(plan) and fusable(*plan[j], x.shape):
+                run.append(plan[j])
+                j += 1
+            run_names = [r[0] for r in run]
+            vecs, taps, w2, w3 = stack_block_params(
+                [params[nm] for nm in run_names],
+                [stats[nm] for nm in run_names],
+                dtype, model.shift_max_shift,
+            )
+            x = fused_block_run(
+                x.astype(dtype), vecs, taps, w2, w3,
+                max_shift=model.shift_max_shift,
+            )
+            i = j
+        else:
+            x = _apply_unfused_block(
+                model, name, cin, cout, stride, use_se, params, stats, x
+            )
+            i += 1
+
+    s, b = fold_bn(
+        params["bn_last"]["scale"].astype(dtype),
+        params["bn_last"]["bias"].astype(dtype),
+        stats["bn_last"]["mean"].astype(dtype),
+        stats["bn_last"]["var"].astype(dtype),
+    )
+    x = jnp.maximum(x * s + b, 0)
+    feats = jnp.mean(x, axis=(2, 3))  # (N, T, C)
+    fc = variables["params"]["new_fc"]
+    logits = feats.astype(dtype) @ fc["kernel"].astype(dtype) + fc["bias"].astype(dtype)
+    return jnp.mean(logits, axis=1)

@@ -1,0 +1,155 @@
+"""On-TPU correctness artifact for the Pallas kernels.
+
+CI runs the Pallas kernels in interpret mode on CPU; this script runs them
+compiled on the real chip and records the result, so on-TPU correctness is a
+checked artifact (PALLAS_TPU_OK.json) rather than a prose claim.
+
+Checks:
+  1. fused multi-block kernel (ops/pallas/fused_block.py) vs the unfused
+     conv-backend block chain, bf16 and f32;
+  2. fused one-pass shift kernel (ops/pallas/fused_shift3d.py) vs the
+     select backend;
+  3. fused end-to-end Large-tier inference vs the regular model.apply.
+
+Usage: python scripts/pallas_tpu_check.py [--out PALLAS_TPU_OK.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _mad(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    denom = np.maximum(np.abs(b), 1e-3)
+    return float(np.max(np.abs(a - b) / denom))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="PALLAS_TPU_OK.json")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rubiksnet_tpu.models import create_rubiksnet
+    from rubiksnet_tpu.models.fused_infer import fused_infer_apply
+    from rubiksnet_tpu.nn.backbone import RubiksShiftBlock
+    from rubiksnet_tpu.ops.pallas.fused_block import (
+        fused_block_run, stack_block_params,
+    )
+    from rubiksnet_tpu.ops.shift3d import rubiks_shift_3d_forward
+
+    backend = jax.default_backend()
+    results = {
+        "device": str(jax.devices()[0]),
+        "backend": backend,
+        "compiled_on_tpu": backend == "tpu",
+        "checks": {},
+        "timestamp": time.time(),
+    }
+    ok = True
+
+    # --- 1. fused multi-block kernel vs unfused conv-backend chain ---
+    for dtype_name, dtype, tol in (("float32", jnp.float32, 5e-4),
+                                   ("bfloat16", jnp.bfloat16, 5e-2)):
+        key = jax.random.PRNGKey(0)
+        c, max_shift, nb = 128, 2, 3
+        n, t, h, w = 2, 8, 14, 14
+        params, stats = [], []
+        for i in range(nb):
+            key, *ks = jax.random.split(key, 8)
+            u = lambda k_, lo, hi, shape: jax.random.uniform(
+                k_, shape, jnp.float32, lo, hi)
+            params.append({
+                "bn1": {"scale": u(ks[0], 0.5, 1.5, (c,)),
+                        "bias": u(ks[1], -0.3, 0.3, (c,))},
+                "bn2": {"scale": u(ks[2], 0.5, 1.5, (c,)),
+                        "bias": u(ks[3], -0.3, 0.3, (c,))},
+                "conv2": {"kernel":
+                          jax.random.normal(ks[4], (1, 1, c, c)) / np.sqrt(c)},
+                "conv3": {"kernel":
+                          jax.random.normal(ks[5], (1, 1, c, c)) / np.sqrt(c)},
+                "as3": {"rubiks3d": {"shift": u(ks[6], -1.8, 1.8, (3, c))}},
+            })
+            stats.append({
+                "bn1": {"mean": u(ks[6], -0.2, 0.2, (c,)),
+                        "var": u(ks[0], 0.5, 2.0, (c,))},
+                "bn2": {"mean": u(ks[1], -0.2, 0.2, (c,)),
+                        "var": u(ks[2], 0.5, 2.0, (c,))},
+            })
+        x = jax.random.normal(jax.random.PRNGKey(1), (n, t, h, w, c), dtype)
+        vecs, taps, w2, w3 = stack_block_params(params, stats, dtype, max_shift)
+        got = jax.jit(
+            lambda x_: fused_block_run(x_, vecs, taps, w2, w3,
+                                       max_shift=max_shift)
+        )(x)
+        block = RubiksShiftBlock(
+            in_planes=c, out_planes=c, stride=1, shift_backend="conv",
+            shift_max_shift=max_shift, dtype=dtype)
+        want = x
+        for pp, ss in zip(params, stats):
+            want = block.apply({"params": pp, "batch_stats": ss}, want, False)
+        err = _mad(got, want)
+        passed = err < tol
+        ok &= passed
+        results["checks"][f"fused_block_{dtype_name}"] = {
+            "max_rel_err": err, "tol": tol, "pass": passed}
+        print(f"fused_block {dtype_name}: err={err:.2e} pass={passed}",
+              flush=True)
+
+    # --- 2. fused one-pass shift kernel vs select backend ---
+    for dtype_name, dtype, tol in (("float32", jnp.float32, 1e-5),
+                                   ("bfloat16", jnp.bfloat16, 2e-2)):
+        c = 128
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 12, 12, c), dtype)
+        shift = jax.random.uniform(
+            jax.random.PRNGKey(3), (3, c), jnp.float32, -1.5, 1.5)
+        got = jax.jit(lambda x_: rubiks_shift_3d_forward(
+            x_, shift, backend="pallas", max_shift=2))(x)
+        want = jax.jit(lambda x_: rubiks_shift_3d_forward(
+            x_, shift, backend="select", max_shift=2))(x)
+        err = _mad(got, want)
+        passed = err < tol
+        ok &= passed
+        results["checks"][f"fused_shift3d_{dtype_name}"] = {
+            "max_rel_err": err, "tol": tol, "pass": passed}
+        print(f"fused_shift3d {dtype_name}: err={err:.2e} pass={passed}",
+              flush=True)
+
+    # --- 3. fused end-to-end Large inference vs regular apply (bf16) ---
+    bundle = create_rubiksnet(
+        "large", num_classes=174, num_frames=8, input_size=64,
+        dtype=jnp.bfloat16, shift_backend="conv", shift_max_shift=2)
+    video = jax.random.normal(
+        jax.random.PRNGKey(4), (2, 8, 112, 112, 3), jnp.bfloat16)
+    want = jax.jit(
+        lambda v: bundle.model.apply(bundle.variables, v, train=False))(video)
+    got = jax.jit(
+        lambda v: fused_infer_apply(bundle.model, bundle.variables, v))(video)
+    err = float(np.max(np.abs(np.asarray(got, np.float32)
+                              - np.asarray(want, np.float32))))
+    passed = err < 0.1  # absolute logit error, bf16 accumulation differences
+    ok &= passed
+    results["checks"]["fused_infer_large_bf16"] = {
+        "max_abs_logit_err": err, "tol": 0.1, "pass": passed}
+    print(f"fused_infer large bf16: max abs logit err={err:.3e} pass={passed}",
+          flush=True)
+
+    results["ok"] = bool(ok)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"ok": results["ok"], "out": args.out}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

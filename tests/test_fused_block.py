@@ -1,0 +1,101 @@
+"""Fused multi-block Pallas kernel vs the unfused block composition.
+
+The fused kernel must reproduce, for a run of stride-1 identity-shortcut
+blocks, exactly what nn/backbone.py's RubiksShiftBlock chain computes in
+inference mode (which is itself oracle-tested against the reference numerics
+elsewhere). Runs in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rubiksnet_tpu.nn.backbone import RubiksShiftBlock
+from rubiksnet_tpu.ops.pallas.fused_block import (
+    fused_block_run,
+    fused_block_supported,
+    stack_block_params,
+)
+
+
+def _make_blocks(key, n_blocks, c, shift_scale=1.8):
+    """Random-weight stride-1 blocks with realistic BN statistics."""
+    params, stats = [], []
+    for i in range(n_blocks):
+        key, *ks = jax.random.split(key, 8)
+        u = lambda k, shape, lo, hi: jax.random.uniform(
+            k, shape, jnp.float32, lo, hi
+        )
+        params.append({
+            "bn1": {"scale": u(ks[0], (c,), 0.5, 1.5),
+                    "bias": u(ks[1], (c,), -0.3, 0.3)},
+            "bn2": {"scale": u(ks[2], (c,), 0.5, 1.5),
+                    "bias": u(ks[3], (c,), -0.3, 0.3)},
+            "conv2": {"kernel": jax.random.normal(ks[4], (1, 1, c, c)) / np.sqrt(c)},
+            "conv3": {"kernel": jax.random.normal(ks[5], (1, 1, c, c)) / np.sqrt(c)},
+            "as3": {"rubiks3d": {"shift": u(ks[6], (3, c), -shift_scale,
+                                            shift_scale)}},
+        })
+        key, k1, k2 = jax.random.split(key, 3)
+        stats.append({
+            "bn1": {"mean": u(k1, (c,), -0.2, 0.2), "var": u(k1, (c,), 0.5, 2.0)},
+            "bn2": {"mean": u(k2, (c,), -0.2, 0.2), "var": u(k2, (c,), 0.5, 2.0)},
+        })
+    return params, stats
+
+
+def _unfused(params, stats, x, backend, max_shift):
+    c = x.shape[-1]
+    block = RubiksShiftBlock(
+        in_planes=c, out_planes=c, stride=1, shift_backend=backend,
+        shift_max_shift=max_shift, dtype=x.dtype,
+    )
+    out = x
+    for p, s in zip(params, stats):
+        out = block.apply({"params": p, "batch_stats": s}, out, False)
+    return out
+
+
+@pytest.mark.parametrize("c,max_shift", [(128, 2), (144, 2), (256, 4)])
+def test_fused_block_matches_unfused(c, max_shift):
+    key = jax.random.PRNGKey(c)
+    n, t, h, w = 2, 4, 6, 6
+    shift_scale = max_shift - 0.2
+    params, stats = _make_blocks(key, 3, c, shift_scale)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, t, h, w, c), jnp.float32)
+
+    assert fused_block_supported(x.shape, max_shift, x.dtype)
+    vecs, taps, w2, w3 = stack_block_params(
+        params, stats, x.dtype, max_shift
+    )
+    got = fused_block_run(x, vecs, taps, w2, w3, max_shift=max_shift)
+    want = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_block_single_block_wide_window():
+    """Window larger than tile mins, one block, odd W (sublane padding)."""
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(3), 1, c, 0.9)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 7, 9, c), jnp.float32)
+    vecs, taps, w2, w3 = stack_block_params(params, stats, x.dtype, max_shift)
+    got = fused_block_run(x, vecs, taps, w2, w3, max_shift=max_shift)
+    want = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_block_batch_independence():
+    """Scratch reuse across grid steps must not leak between clips."""
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(5), 2, c, 0.9)
+    vecs, taps, w2, w3 = stack_block_params(params, stats, jnp.float32, max_shift)
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 5, 5, c), jnp.float32)
+    full = fused_block_run(x, vecs, taps, w2, w3, max_shift=max_shift)
+    solo = fused_block_run(x[1:2], vecs, taps, w2, w3, max_shift=max_shift)
+    np.testing.assert_allclose(
+        np.asarray(full[1:2]), np.asarray(solo), rtol=1e-5, atol=1e-5
+    )

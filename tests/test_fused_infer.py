@@ -1,0 +1,43 @@
+"""End-to-end: fused inference executor == regular model.apply.
+
+Uses a tiny custom tier-like config via the real model classes (tiny tier,
+small frames/size keep CPU interpret-mode runtime manageable)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rubiksnet_tpu.models import create_rubiksnet
+from rubiksnet_tpu.models.fused_infer import fused_infer_apply
+
+
+def test_fused_infer_matches_model_tiny():
+    bundle = create_rubiksnet(
+        "tiny", num_classes=11, num_frames=3, input_size=32,
+        shift_backend="conv", shift_max_shift=2,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(0), (2, 3, 32, 32, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_fused_infer_matches_model_small_se():
+    """SE tier: every block falls back to the unfused path; executor must
+    still agree."""
+    bundle = create_rubiksnet(
+        "small", num_classes=5, num_frames=2, input_size=16,
+        shift_backend="conv", shift_max_shift=2,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 2, 16, 16, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
