@@ -66,8 +66,11 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--backend", default="conv",
-                   choices=["pallas", "conv", "select", "gather"])
+    p.add_argument("--backend", default="fused",
+                   choices=["fused", "pallas", "conv", "select", "gather"],
+                   help="'fused' = multi-block Pallas inference executor "
+                        "(ineligible blocks fall back to the conv backend); "
+                        "train mode always uses an unfused backend")
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
@@ -85,9 +88,13 @@ def main():
     from rubiksnet_tpu.utils.benchmark import time_chained, time_chained_carry
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    # Random-init shifts are U(-1, 1) (layer init; checkpoints autosize this
+    # bound at load time), so the static integer-shift bound is 1.
+    shift_backend = "conv" if args.backend == "fused" else args.backend
     bundle = create_rubiksnet(
         args.tier, num_classes=174, num_frames=args.frames, input_size=64,
-        dtype=dtype, shift_backend=args.backend, remat=args.mode == "train",
+        dtype=dtype, shift_backend=shift_backend, shift_max_shift=2,
+        remat=args.mode == "train",
     )
 
     device = jax.devices()[0]
@@ -139,8 +146,14 @@ def main():
         )
         vs = None
     else:
-        def forward(video):
-            return bundle.model.apply(variables, video, train=False)
+        if args.backend == "fused":
+            from rubiksnet_tpu.models.fused_infer import fused_infer_apply
+
+            def forward(video):
+                return fused_infer_apply(bundle.model, variables, video)
+        else:
+            def forward(video):
+                return bundle.model.apply(variables, video, train=False)
 
         for bs in args.batch_sizes:
             video = make_video(bs, dtype)

@@ -104,13 +104,13 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 run.append(plan[j])
                 j += 1
             run_names = [r[0] for r in run]
-            vecs, taps, w2, w3 = stack_block_params(
+            vt, wm = stack_block_params(
                 [params[nm] for nm in run_names],
                 [stats[nm] for nm in run_names],
                 dtype, model.shift_max_shift,
             )
             x = fused_block_run(
-                x.astype(dtype), vecs, taps, w2, w3,
+                x.astype(dtype), vt, wm,
                 max_shift=model.shift_max_shift,
             )
             i = j

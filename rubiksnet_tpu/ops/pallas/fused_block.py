@@ -12,28 +12,35 @@ This kernel executes an entire run of stride-1 identity-shortcut blocks
 
 with the activation resident in VMEM for the whole run:
 
-  grid = (clips, blocks), block index minor. The clip's activation lives in a
-  VMEM scratch accumulator across all block steps; per-block weights stream
-  through double-buffered BlockSpec pipelines. HBM traffic per clip per run
-  is ONE activation read + ONE activation write + the (small) weights,
-  instead of ~15 passes per block.
+  grid = (clip groups, blocks), block index minor. The group's activation
+  lives in a VMEM scratch accumulator across all block steps; per-block
+  weights stream through double-buffered BlockSpec pipelines. HBM traffic per
+  clip per run is ONE activation read + ONE activation write + the (small)
+  weights, instead of ~15 passes per block. Grouping several clips per grid
+  step amortizes the fixed per-step cost (measured ~10us on v5e).
 
-Inside one block step:
-  * bn1+relu on the accumulator (VPU),
-  * 1x1 conv as one (T*H*Wp, C) x (C, C) MXU matmul in f32 accumulation,
-  * bn2+relu fused on the matmul result,
-  * the 3-axis fractional shift as per-axis tap sums over a zero-padded halo
-    scratch (the same (2K+2, C) one-hot-lerp tap weights as conv_backend),
-  * second 1x1 conv matmul, shortcut add into the accumulator.
+Inside one block step, per clip, the schedule is:
+  * pass 1 (per frame): bn1+relu on the accumulator (VPU), 1x1 conv as an
+    (H*Wp, C) x (C, C) MXU matmul with f32 accumulation, bn2+relu on the
+    result, scatter into the zero-padded halo buffer;
+  * pass 1.5 (per halo frame): the W-axis shift taps, computed ONCE per
+    input frame (W comes first because its result is shared by every
+    output frame and narrows the working width for the T/H stages — ~30%
+    fewer tap ops than T-first ordering);
+  * pass 2 (per frame): T-axis taps over whole-frame row blocks, H-axis
+    taps over row windows, then the second 1x1-conv MXU matmul and the
+    shortcut add into the accumulator.
 
 Layout notes (Mosaic/axon rules, see ops/pallas/fused_shift3d.py):
-  * all buffers are rank-3 (rows, W, C) with C on lanes; W is padded to the
-    sublane tile (8 f32 / 16 bf16) so (rows, Wp, C) <-> (rows*Wp, C)
+  * all buffers are rank-3/4 (..., rows, W, C) with C on lanes; W is padded
+    to the sublane tile (8 f32 / 16 bf16) so (rows, Wp, C) <-> (rows*Wp, C)
     reshapes around the matmuls are layout-preserving (free);
-  * every in-kernel slice is stride-1 (bf16-safe); halo zeros come from a
-    once-zeroed scratch whose halo region is never written;
-  * no manual DMAs: HBM<->VMEM movement is BlockSpec-pipelined, which also
-    gives input/weight prefetch overlap for free.
+  * tap arithmetic runs in f32: Mosaic on this runtime miscompiles
+    odd-offset sublane slices of bf16 *values* (established by on-chip
+    bisection; f32 slices are exact) — and the VPU is f32-native anyway;
+  * halo zeros come from a once-zeroed scratch whose halo region is never
+    written; no manual DMAs — HBM<->VMEM movement is BlockSpec-pipelined,
+    which also gives input/weight prefetch overlap for free.
 
 Batch-norm parameters arrive pre-folded for inference (scale/bias); see
 stack_block_params.
@@ -42,7 +49,6 @@ stack_block_params.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -51,8 +57,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..conv_backend import _shift_kernel
 
-# Leave headroom under the ~16 MB/core VMEM for pipeline double-buffers.
-_VMEM_BUDGET = 13 * 1024 * 1024
+# v5e exposes ~128 MB of VMEM to a kernel (verified empirically on this
+# runtime: 120 MB scratch compiles and runs); the 16 MB figure is only the
+# compiler's default scoped budget, which we raise via vmem_limit_bytes.
+_VMEM_BUDGET = 96 * 1024 * 1024
+_VMEM_LIMIT_CAP = 120 * 1024 * 1024
 _BN_EPS = 1e-5
 
 
@@ -70,49 +79,70 @@ def _geometry(t, h, w, c, max_shift, dtype):
     wp = _round_up(w, sub)
     tp = t + 2 * k + 1
     hp = h + 2 * k + 1
-    wph = _round_up(w + 2 * k + 1, sub)
+    # The W-tap stage slices [j : j + wp] for j in [0, 2k+2), so the halo
+    # width must cover wp + 2k + 1 (the tail is zero, never written).
+    wph = _round_up(wp + 2 * k + 1, sub)
     return k, sub, wp, tp, hp, wph
 
 
-def fused_block_vmem_bytes(shape, max_shift, dtype) -> int:
-    """Estimated VMEM need: scratch + pipelined in/out blocks (x2 each)."""
+def _group_vmem_bytes(shape, max_shift, dtype, group: int) -> int:
+    """Estimated VMEM need for `group` clips per grid step, using Mosaic's
+    padded layouts: lanes (channels) padded to 128, sublanes (W) to the
+    dtype tile, for scratch and pipeline buffers alike."""
     n, t, h, w, c = shape
     k, sub, wp, tp, hp, wph = _geometry(t, h, w, c, max_shift, dtype)
     itemsize = jnp.dtype(dtype).itemsize
-    acc = t * h * wp * c * itemsize
-    cbuf = tp * hp * wph * c * itemsize
-    dbuf = t * h * wp * c * itemsize
-    io_blocks = 2 * 2 * t * h * w * c * itemsize
-    weight_blocks = 2 * 2 * c * c * itemsize
-    matmul_tmp = t * h * wp * c * 4  # f32 matmul result
-    return acc + cbuf + dbuf + io_blocks + weight_blocks + matmul_tmp
+    cp = _round_up(c, 128)
+    g = group
+    acc = g * t * h * wp * cp * itemsize
+    cbuf = g * tp * hp * wph * cp * itemsize
+    wbuf = g * tp * hp * wp * cp * itemsize
+    io_blocks = 2 * 2 * g * t * h * wp * cp * itemsize  # double-buffered io
+    weight_blocks = 2 * 2 * cp * cp * itemsize
+    # f32 temporaries (one clip live at a time): whole-clip matmul results +
+    # the whole-clip T/H tap stages + one halo frame of the W stage.
+    temps = (2 * t * h * wp * cp * 4 + 2 * t * hp * wp * cp * 4
+             + 2 * hp * wph * cp * 4)
+    return acc + cbuf + wbuf + io_blocks + weight_blocks + temps
+
+
+def fused_block_vmem_bytes(shape, max_shift, dtype) -> int:
+    return _group_vmem_bytes(shape, max_shift, dtype, 1)
+
+
+def pick_group(shape, max_shift, dtype) -> int:
+    """Largest group size (divisor of N, <= 8) whose buffers fit VMEM."""
+    n = shape[0]
+    for g in (8, 4, 2, 1):
+        if n % g == 0 and _group_vmem_bytes(shape, max_shift, dtype, g) <= _VMEM_BUDGET:
+            return g
+    return 0
 
 
 def fused_block_supported(shape, max_shift, dtype) -> bool:
-    n, t, h, w, c = shape
     if jnp.dtype(dtype).itemsize not in (2, 4):
         return False
-    return fused_block_vmem_bytes(shape, max_shift, dtype) <= _VMEM_BUDGET
+    return pick_group(shape, max_shift, dtype) >= 1
 
 
 def _kernel(
-    x_ref, vecs_ref, taps_ref, w2_ref, w3_ref, out_ref, acc, cbuf, dbuf,
-    *, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
+    x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf,
+    *, g_len, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
 ):
-    n = pl.program_id(0)
+    i = pl.program_id(0)
     b = pl.program_id(1)
     nb = pl.num_programs(1)
     taps_n = 2 * k + 2
     th = t_len * h_len
+    f32 = jnp.float32
 
-    @pl.when(jnp.logical_and(n == 0, b == 0))
+    @pl.when(jnp.logical_and(i == 0, b == 0))
     def _zero_halo():
         # The halo region of cbuf must read as true zeros (the shift's
         # out-of-bounds fill). It is never written afterwards; the interior
         # is fully overwritten every step.
         cbuf[...] = jnp.zeros_like(cbuf)
         acc[...] = jnp.zeros_like(acc)
-        dbuf[...] = jnp.zeros_like(dbuf)
 
     @pl.when(b == 0)
     def _load():
@@ -121,111 +151,151 @@ def _kernel(
         else:
             acc[...] = x_ref[...]
 
-    f32 = jnp.float32
-    bn1_s = vecs_ref[0, 0, :].astype(acc.dtype).reshape(1, 1, c)
-    bn1_b = vecs_ref[0, 1, :].astype(acc.dtype).reshape(1, 1, c)
-    bn2_s = vecs_ref[0, 2, :].reshape(1, c)
-    bn2_b = vecs_ref[0, 3, :].reshape(1, c)
+    bn1_s = vt_ref[0, 0, :].astype(acc.dtype).reshape(1, 1, c)
+    bn1_b = vt_ref[0, 1, :].astype(acc.dtype).reshape(1, 1, c)
+    bn2_s = vt_ref[0, 2, :].reshape(1, c)
+    bn2_b = vt_ref[0, 3, :].reshape(1, c)
+    w2 = wm_ref[0, 0]
+    w3 = wm_ref[0, 1]
+    fhp = tp * hp  # halo rows per clip
 
-    a = jnp.maximum(acc[...] * bn1_s + bn1_b, 0)
-    av = a.reshape(th * wp, c)
-    bm = jnp.dot(av, w2_ref[0], preferred_element_type=f32)
-    cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
-    c3 = cm.reshape(th, wp, c)
+    # Clips iterate via fori_loop (dynamic row bases) so the compiled kernel
+    # body stays one clip's worth of code regardless of the group size. All
+    # compute inside is expressed as whole-clip ops (one matmul per conv per
+    # clip; each tap as one big shifted-slice multiply-add) — per-op fixed
+    # costs dominate small-frame stages otherwise.
+    u_len = t_len * hp
+    v_len = u_len - 2 * k - 1  # frame t's valid rows: [t*hp, t*hp + h)
 
-    # Scatter the valid region into the zero-padded halo buffer, rows laid
-    # out (t', h) so temporal taps are whole-frame row blocks.
-    for t in range(t_len):
-        cbuf[(k + t) * hp + k : (k + t) * hp + k + h_len, k : k + w_len, :] = (
-            c3[t * h_len : (t + 1) * h_len, :w_len, :]
-        )
+    def clip_body(g, _):
+        base = g * th
+        cbase = g * fhp
+        # Pass 1: bn1+relu, one whole-clip 1x1-conv matmul, bn2+relu,
+        # scatter the valid region into the zero-padded halo buffer, rows
+        # laid out (t', h) so temporal taps are whole-slab row shifts.
+        a = jnp.maximum(acc[pl.ds(base, th)] * bn1_s + bn1_b, 0)
+        bm = jnp.dot(a.reshape(th * wp, c), w2, preferred_element_type=f32)
+        cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
+        c3 = cm.reshape(th, wp, c)
+        for t in range(t_len):
+            cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
+                 k : k + w_len, :] = c3[t * h_len : (t + 1) * h_len,
+                                        :w_len, :]
 
-    wt = taps_ref[0, 0]  # (taps, C)
-    wh = taps_ref[0, 1]
-    ww = taps_ref[0, 2]
-    for t in range(t_len):
+        # Pass 1.5: W-axis taps, once per halo frame (shared by every output
+        # frame of the temporal taps below).
+        for tt in range(tp):
+            cc = cbuf[pl.ds(cbase + tt * hp, hp)].astype(f32)
+            wv = None
+            for j in range(taps_n):
+                term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(1, 1, c) * (
+                    cc[:, j : j + wp, :]
+                )
+                wv = term if wv is None else wv + term
+            wbuf[pl.ds(cbase + tt * hp, hp)] = wv.astype(acc.dtype)
+
+        # Pass 2: T taps as whole-slab row shifts by j*hp (the (t', h) row
+        # layout makes "frame t+j" a pure row offset), H taps as row shifts
+        # by j, then ONE matmul over all rows — the few inter-frame garbage
+        # rows (hp vs h) ride along and are dropped at extraction.
         u = None
         for j in range(taps_n):
-            term = wt[j].reshape(1, 1, c) * cbuf[(t + j) * hp : (t + j + 1) * hp]
+            term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
+                wbuf[pl.ds(cbase + j * hp, u_len)].astype(f32)
+            )
             u = term if u is None else u + term
         v = None
         for j in range(taps_n):
-            term = wh[j].reshape(1, 1, c) * u[j : j + h_len]
+            term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
+                u[j : j + v_len]
+            )
             v = term if v is None else v + term
-        d = None
-        for j in range(taps_n):
-            term = ww[j].reshape(1, 1, c) * v[:, j : j + w_len, :]
-            d = term if d is None else d + term
-        dbuf[t * h_len : (t + 1) * h_len, :w_len, :] = d
+        e = jnp.dot(v.astype(acc.dtype).reshape(v_len * wp, c), w3,
+                    preferred_element_type=f32)
+        e3 = e.reshape(v_len, wp, c).astype(acc.dtype)
+        for t in range(t_len):
+            rows = pl.ds(base + t * h_len, h_len)
+            acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+        return 0
 
-    dv = dbuf[...].reshape(th * wp, c)
-    e = jnp.dot(dv, w3_ref[0], preferred_element_type=f32)
-    acc[...] = acc[...] + e.reshape(th, wp, c).astype(acc.dtype)
+    jax.lax.fori_loop(0, g_len, clip_body, 0)
 
     @pl.when(b == nb - 1)
     def _flush():
         out_ref[...] = acc[:, :w_len, :].astype(out_dtype)
 
 
-def fused_block_run(x, vecs, taps, w2, w3, *, max_shift, interpret=None):
+def fused_block_run(x, vt, wm, *, max_shift, group=None, interpret=None):
     """Apply a chain of B fused blocks to a clip batch.
 
     Args:
       x: (N, T, H, W, C) activation (bf16 or f32).
-      vecs: (B, 4, C) f32 — folded bn1 scale/bias, bn2 scale/bias.
-      taps: (B, 3, 2K+2, C) x.dtype — per-axis shift tap weights
-        (conv_backend._shift_kernel layout: tap j <-> offset j - K).
-      w2, w3: (B, C, C) x.dtype — 1x1 conv kernels (in, out).
+      vt: (B, 4 + 3*(2K+2), C) f32 — folded bn1 scale/bias, bn2 scale/bias,
+        then the T/H/W-axis shift tap weights (conv_backend._shift_kernel
+        layout: tap j <-> offset j - K).
+      wm: (B, 2, C, C) x.dtype — the two 1x1 conv kernels (in, out).
       max_shift: static K bound on the integer part of the shifts.
+      group: clips per grid step (default: auto via pick_group).
 
     Returns (N, T, H, W, C), equal to applying the B blocks sequentially.
     """
     n, t_len, h_len, w_len, c = x.shape
-    nb = vecs.shape[0]
-    k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift, x.dtype)
+    nb = vt.shape[0]
+    k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift,
+                                        x.dtype)
     taps_n = 2 * k + 2
-    assert taps.shape == (nb, 3, taps_n, c), (taps.shape, (nb, 3, taps_n, c))
-    assert w2.shape == (nb, c, c) and w3.shape == (nb, c, c)
+    assert vt.shape == (nb, 4 + 3 * taps_n, c), vt.shape
+    assert wm.shape == (nb, 2, c, c), wm.shape
+    g_len = group if group is not None else pick_group(x.shape, max_shift,
+                                                       x.dtype)
+    assert g_len >= 1 and n % g_len == 0, (n, g_len)
     th = t_len * h_len
 
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
         _kernel,
-        t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
+        g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
         wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype,
     )
-    flops_per_step = 2 * 2 * th * wp * c * c + 3 * (2 * k + 2) * 2 * th * wph * c
+    flops_per_step = g_len * (
+        2 * 2 * th * wp * c * c + 3 * taps_n * 2 * th * wph * c
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(n, nb),
+        grid=(n // g_len, nb),
         in_specs=[
-            pl.BlockSpec((th, w_len, c), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, c), lambda i, b: (b, 0, 0),
+            pl.BlockSpec((1, 4 + 3 * taps_n, c), lambda i, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, taps_n, c), lambda i, b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, c), lambda i, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, c), lambda i, b: (b, 0, 0),
+            pl.BlockSpec((1, 2, c, c), lambda i, b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((th, w_len, c), lambda i, b: (i, 0, 0),
+        out_specs=pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * th, w_len, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th, wp, c), x.dtype),       # accumulator (the clip)
-            pltpu.VMEM((tp * hp, wph, c), x.dtype),  # shift halo buffer
-            pltpu.VMEM((th, wp, c), x.dtype),       # shifted output
+            pltpu.VMEM((g_len * th, wp, c), x.dtype),       # accumulator
+            pltpu.VMEM((g_len * tp * hp, wph, c), x.dtype),  # halo buffer
+            pltpu.VMEM((g_len * tp * hp, wp, c), x.dtype),   # W-shifted
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(int(_group_vmem_bytes(x.shape, max_shift, x.dtype,
+                                          g_len) * 1.3),
+                    32 * 1024 * 1024),
+                _VMEM_LIMIT_CAP,
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=n * nb * flops_per_step,
+            flops=(n // g_len) * nb * flops_per_step,
             bytes_accessed=2 * x3.size * x3.dtype.itemsize
             + n * nb * 2 * c * c * jnp.dtype(x.dtype).itemsize,
             transcendentals=0,
         ),
-        interpret=(jax.default_backend() != "tpu") if interpret is None else interpret,
-    )(x3, vecs, taps, w2, w3)
+        interpret=(jax.default_backend() != "tpu") if interpret is None
+        else interpret,
+    )(x3, vt, wm)
     return out.reshape(n, t_len, h_len, w_len, c)
 
 
@@ -238,27 +308,32 @@ def fold_bn(gamma, beta, mean, var, eps=_BN_EPS):
 def stack_block_params(block_params, block_stats, dtype, max_shift,
                        quantize=False):
     """Stack a run of RubiksShiftBlock param/stat subtrees into the fused
-    kernel's (vecs, taps, w2, w3) arrays.
+    kernel's (vt, wm) arrays.
 
     block_params/block_stats: lists of the per-block 'params' /'batch_stats'
     subtrees as produced by nn/backbone.py (keys bn1, conv2, bn2,
     as3/rubiks3d/shift, conv3).
     """
-    vecs, taps, w2s, w3s = [], [], [], []
+    vts, wms = [], []
     for p, s in zip(block_params, block_stats):
         s1, b1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
                          s["bn1"]["mean"], s["bn1"]["var"])
         s2, b2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
                          s["bn2"]["mean"], s["bn2"]["var"])
-        vecs.append(jnp.stack([s1, b1, s2, b2]).astype(jnp.float32))
+        # Tap weights are built in the compute dtype (matching the conv
+        # backend's shift.astype(x.dtype) semantics), then carried in f32.
         shift = p["as3"]["rubiks3d"]["shift"].astype(dtype)
-        taps.append(jnp.stack([
+        taps = jnp.concatenate([
             _shift_kernel(shift[0], dtype, max_shift, quantize),
             _shift_kernel(shift[1], dtype, max_shift, quantize),
             _shift_kernel(shift[2], dtype, max_shift, quantize),
-        ]))
+        ]).astype(jnp.float32)
+        vts.append(jnp.concatenate(
+            [jnp.stack([s1, b1, s2, b2]).astype(jnp.float32), taps]
+        ))
         c = shift.shape[-1]
-        w2s.append(p["conv2"]["kernel"].reshape(c, c).astype(dtype))
-        w3s.append(p["conv3"]["kernel"].reshape(c, c).astype(dtype))
-    return (jnp.stack(vecs), jnp.stack(taps).astype(dtype),
-            jnp.stack(w2s), jnp.stack(w3s))
+        wms.append(jnp.stack([
+            p["conv2"]["kernel"].reshape(c, c).astype(dtype),
+            p["conv3"]["kernel"].reshape(c, c).astype(dtype),
+        ]))
+    return jnp.stack(vts), jnp.stack(wms)

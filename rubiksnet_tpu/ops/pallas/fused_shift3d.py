@@ -89,14 +89,18 @@ def _kernel(
     h_span = (th - 1) * s_h + 1
     w_span = (w_out - 1) * s_w + 1
 
+    # Tap arithmetic in f32: Mosaic on this runtime miscompiles odd-offset
+    # sublane slices of bf16 *values* (see fused_block.py); f32 is exact.
+    f32 = jnp.float32
+
     def w_at(ref, j):
-        return ref[j, :].reshape(1, 1, c)
+        return ref[j, :].astype(f32).reshape(1, 1, c)
 
     for t in range(t_out):
         # T stage: contiguous frame blocks of the halo buffer.
         a = None
         for j in range(taps):
-            rows = buf[(t + j) * hw_in : (t + j + 1) * hw_in]
+            rows = buf[(t + j) * hw_in : (t + j + 1) * hw_in].astype(f32)
             term = w_at(wt_ref, j) * rows
             a = term if a is None else a + term
         # H stage (contiguous for s_h == 1; strided slices only for 32-bit).
@@ -112,7 +116,7 @@ def _kernel(
             term = w_at(ww_ref, j) * cols
             o = term if o is None else o + term
         # Output tile rows ordered (t, h): contiguous write.
-        out_ref[t * th : (t + 1) * th] = o
+        out_ref[t * th : (t + 1) * th] = o.astype(out_ref.dtype)
 
 
 def fused_shift3d_supported(shape, stride, padding, max_shift, dtype) -> bool:

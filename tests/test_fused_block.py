@@ -65,10 +65,8 @@ def test_fused_block_matches_unfused(c, max_shift):
     x = jax.random.normal(jax.random.PRNGKey(1), (n, t, h, w, c), jnp.float32)
 
     assert fused_block_supported(x.shape, max_shift, x.dtype)
-    vecs, taps, w2, w3 = stack_block_params(
-        params, stats, x.dtype, max_shift
-    )
-    got = fused_block_run(x, vecs, taps, w2, w3, max_shift=max_shift)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    got = fused_block_run(x, vt, wm, max_shift=max_shift)
     want = _unfused(params, stats, x, "conv", max_shift)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
@@ -80,8 +78,8 @@ def test_fused_block_single_block_wide_window():
     c, max_shift = 128, 1
     params, stats = _make_blocks(jax.random.PRNGKey(3), 1, c, 0.9)
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 7, 9, c), jnp.float32)
-    vecs, taps, w2, w3 = stack_block_params(params, stats, x.dtype, max_shift)
-    got = fused_block_run(x, vecs, taps, w2, w3, max_shift=max_shift)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    got = fused_block_run(x, vt, wm, max_shift=max_shift)
     want = _unfused(params, stats, x, "conv", max_shift)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
@@ -92,10 +90,10 @@ def test_fused_block_batch_independence():
     """Scratch reuse across grid steps must not leak between clips."""
     c, max_shift = 128, 1
     params, stats = _make_blocks(jax.random.PRNGKey(5), 2, c, 0.9)
-    vecs, taps, w2, w3 = stack_block_params(params, stats, jnp.float32, max_shift)
+    vt, wm = stack_block_params(params, stats, jnp.float32, max_shift)
     x = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 5, 5, c), jnp.float32)
-    full = fused_block_run(x, vecs, taps, w2, w3, max_shift=max_shift)
-    solo = fused_block_run(x[1:2], vecs, taps, w2, w3, max_shift=max_shift)
+    full = fused_block_run(x, vt, wm, max_shift=max_shift)
+    solo = fused_block_run(x[1:2], vt, wm, max_shift=max_shift)
     np.testing.assert_allclose(
         np.asarray(full[1:2]), np.asarray(solo), rtol=1e-5, atol=1e-5
     )
