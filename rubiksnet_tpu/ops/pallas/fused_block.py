@@ -63,6 +63,10 @@ from ..conv_backend import _shift_kernel
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_LIMIT_CAP = 120 * 1024 * 1024
 _BN_EPS = 1e-5
+# Frames with at least this many (sublane) rows are processed one at a time
+# (per-op overhead is amortized by size); smaller frames batch the whole
+# clip into single big ops.
+_PER_FRAME_ROWS = 2048
 
 
 def _sub(dtype) -> int:
@@ -99,10 +103,14 @@ def _group_vmem_bytes(shape, max_shift, dtype, group: int) -> int:
     wbuf = g * tp * hp * wp * cp * itemsize
     io_blocks = 2 * 2 * g * t * h * wp * cp * itemsize  # double-buffered io
     weight_blocks = 2 * 2 * cp * cp * itemsize
-    # f32 temporaries (one clip live at a time): whole-clip matmul results +
-    # the whole-clip T/H tap stages + one halo frame of the W stage.
-    temps = (2 * t * h * wp * cp * 4 + 2 * t * hp * wp * cp * 4
-             + 2 * hp * wph * cp * 4)
+    if h * wp >= _PER_FRAME_ROWS:
+        # Per-frame schedule: temporaries are one frame (+halo) at a time.
+        temps = 4 * h * wp * cp * 4 + 2 * hp * wph * cp * 4
+    else:
+        # Whole-clip schedule: matmul results + T/H tap stages for the
+        # full clip + one halo frame of the W stage.
+        temps = (2 * t * h * wp * cp * 4 + 2 * t * hp * wp * cp * 4
+                 + 2 * hp * wph * cp * 4)
     return acc + cbuf + wbuf + io_blocks + weight_blocks + temps
 
 
@@ -111,9 +119,13 @@ def fused_block_vmem_bytes(shape, max_shift, dtype) -> int:
 
 
 def pick_group(shape, max_shift, dtype) -> int:
-    """Largest group size (divisor of N, <= 8) whose buffers fit VMEM."""
+    """Group size (divisor of N, <= 2) whose buffers fit VMEM.
+
+    Grouping two clips per grid step amortizes the fixed per-step cost;
+    larger groups measured no better on v5e (and eat into the VMEM that the
+    pipeline uses for prefetch depth)."""
     n = shape[0]
-    for g in (8, 4, 2, 1):
+    for g in (2, 1):
         if n % g == 0 and _group_vmem_bytes(shape, max_shift, dtype, g) <= _VMEM_BUDGET:
             return g
     return 0
@@ -166,21 +178,36 @@ def _kernel(
     # costs dominate small-frame stages otherwise.
     u_len = t_len * hp
     v_len = u_len - 2 * k - 1  # frame t's valid rows: [t*hp, t*hp + h)
+    per_frame = h_len * wp >= _PER_FRAME_ROWS
 
     def clip_body(g, _):
         base = g * th
         cbase = g * fhp
-        # Pass 1: bn1+relu, one whole-clip 1x1-conv matmul, bn2+relu,
-        # scatter the valid region into the zero-padded halo buffer, rows
-        # laid out (t', h) so temporal taps are whole-slab row shifts.
-        a = jnp.maximum(acc[pl.ds(base, th)] * bn1_s + bn1_b, 0)
-        bm = jnp.dot(a.reshape(th * wp, c), w2, preferred_element_type=f32)
-        cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
-        c3 = cm.reshape(th, wp, c)
-        for t in range(t_len):
-            cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
-                 k : k + w_len, :] = c3[t * h_len : (t + 1) * h_len,
-                                        :w_len, :]
+        # Pass 1: bn1+relu, 1x1-conv matmul, bn2+relu, scatter the valid
+        # region into the zero-padded halo buffer, rows laid out (t', h) so
+        # temporal taps are whole-slab row shifts. Small frames batch the
+        # whole clip into one matmul; big frames go one frame at a time to
+        # bound the f32 temporaries.
+        if per_frame:
+            for t in range(t_len):
+                a = jnp.maximum(
+                    acc[pl.ds(base + t * h_len, h_len)] * bn1_s + bn1_b, 0
+                )
+                bm = jnp.dot(a.reshape(h_len * wp, c), w2,
+                             preferred_element_type=f32)
+                cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
+                cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
+                     k : k + w_len, :] = cm.reshape(h_len, wp, c)[:, :w_len, :]
+        else:
+            a = jnp.maximum(acc[pl.ds(base, th)] * bn1_s + bn1_b, 0)
+            bm = jnp.dot(a.reshape(th * wp, c), w2,
+                         preferred_element_type=f32)
+            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
+            c3 = cm.reshape(th, wp, c)
+            for t in range(t_len):
+                cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
+                     k : k + w_len, :] = c3[t * h_len : (t + 1) * h_len,
+                                            :w_len, :]
 
         # Pass 1.5: W-axis taps, once per halo frame (shared by every output
         # frame of the temporal taps below).
@@ -194,28 +221,48 @@ def _kernel(
                 wv = term if wv is None else wv + term
             wbuf[pl.ds(cbase + tt * hp, hp)] = wv.astype(acc.dtype)
 
-        # Pass 2: T taps as whole-slab row shifts by j*hp (the (t', h) row
-        # layout makes "frame t+j" a pure row offset), H taps as row shifts
-        # by j, then ONE matmul over all rows — the few inter-frame garbage
-        # rows (hp vs h) ride along and are dropped at extraction.
-        u = None
-        for j in range(taps_n):
-            term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
-                wbuf[pl.ds(cbase + j * hp, u_len)].astype(f32)
-            )
-            u = term if u is None else u + term
-        v = None
-        for j in range(taps_n):
-            term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
-                u[j : j + v_len]
-            )
-            v = term if v is None else v + term
-        e = jnp.dot(v.astype(acc.dtype).reshape(v_len * wp, c), w3,
-                    preferred_element_type=f32)
-        e3 = e.reshape(v_len, wp, c).astype(acc.dtype)
-        for t in range(t_len):
-            rows = pl.ds(base + t * h_len, h_len)
-            acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+        # Pass 2: T taps as row shifts by j*hp (the (t', h) row layout makes
+        # "frame t+j" a pure row offset), H taps as row shifts by j, then the
+        # second 1x1-conv matmul and the shortcut add into acc.
+        if per_frame:
+            for t in range(t_len):
+                u = None
+                for j in range(taps_n):
+                    term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
+                        wbuf[pl.ds(cbase + (t + j) * hp, hp)].astype(f32)
+                    )
+                    u = term if u is None else u + term
+                v = None
+                for j in range(taps_n):
+                    term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
+                        u[j : j + h_len]
+                    )
+                    v = term if v is None else v + term
+                e = jnp.dot(v.astype(acc.dtype).reshape(h_len * wp, c), w3,
+                            preferred_element_type=f32)
+                rows = pl.ds(base + t * h_len, h_len)
+                acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(acc.dtype)
+        else:
+            # Whole-clip big ops: the few inter-frame garbage rows (hp vs h)
+            # ride through the matmul and are dropped at extraction.
+            u = None
+            for j in range(taps_n):
+                term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
+                    wbuf[pl.ds(cbase + j * hp, u_len)].astype(f32)
+                )
+                u = term if u is None else u + term
+            v = None
+            for j in range(taps_n):
+                term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
+                    u[j : j + v_len]
+                )
+                v = term if v is None else v + term
+            e = jnp.dot(v.astype(acc.dtype).reshape(v_len * wp, c), w3,
+                        preferred_element_type=f32)
+            e3 = e.reshape(v_len, wp, c).astype(acc.dtype)
+            for t in range(t_len):
+                rows = pl.ds(base + t * h_len, h_len)
+                acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
         return 0
 
     jax.lax.fori_loop(0, g_len, clip_body, 0)

@@ -63,17 +63,24 @@ def make_train_step(model, tx: optax.GradientTransformation):
     return train_step
 
 
-def make_eval_step(model, num_crops: int = 1):
+def make_eval_step(model, num_crops: int = 1, fused: bool = False):
     """Returns eval_step(variables, video, labels) -> metrics dict.
 
     video: (N, crops, T, H, W, 3). Logits are averaged over the crops/clips
     axis inside the jitted step (the multi-view consensus of
-    scripts/test_models.py:162-175)."""
+    scripts/test_models.py:162-175). fused=True routes the forward through
+    the multi-block Pallas inference executor (models/fused_infer.py).
+    """
 
     def eval_step(variables, video, labels):
         n, crops = video.shape[0], video.shape[1]
         flat = video.reshape((n * crops,) + video.shape[2:])
-        logits = model.apply(variables, flat, train=False)
+        if fused:
+            from ..models.fused_infer import fused_infer_apply
+
+            logits = fused_infer_apply(model, variables, flat)
+        else:
+            logits = model.apply(variables, flat, train=False)
         logits = logits.reshape(n, crops, -1).mean(axis=1)
         top1 = jnp.argmax(logits, axis=-1) == labels
         k = min(5, logits.shape[-1])

@@ -35,8 +35,16 @@ def main():
                         help="evaluate only the first N videos")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--loader", default="pil", choices=["pil", "native"],
-                        help="'native' uses the C++ libjpeg pipeline")
+    parser.add_argument("--loader", default="auto",
+                        choices=["auto", "pil", "native"],
+                        help="'native' uses the C++ libjpeg pipeline; "
+                             "'auto' picks native when built")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="batches decoded ahead on a background thread "
+                             "(0 disables)")
+    parser.add_argument("--backend", default="fused",
+                        choices=["fused", "model"],
+                        help="'fused' = multi-block Pallas inference executor")
     args = parser.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -48,7 +56,7 @@ def main():
     from rubiksnet_tpu.data import (
         Compose, GroupCenterCrop, GroupFullResSample, GroupNormalize,
         GroupScale, NativeEvalDataset, RubiksDataset, Stack, ToClipArray,
-        batch_iterator, native_loader, return_dataset,
+        batch_iterator, native_loader, prefetch, return_dataset,
     )
     from rubiksnet_tpu.models import INPUT_MEAN, INPUT_STD, load_pretrained
     from rubiksnet_tpu.parallel import mesh as pmesh
@@ -84,10 +92,9 @@ def main():
             GroupNormalize(INPUT_MEAN, INPUT_STD),
         ]
     )
-    use_native = args.loader == "native"
-    if use_native and not native_loader.available():
+    use_native = args.loader in ("native", "auto") and native_loader.available()
+    if args.loader == "native" and not use_native:
         print("=> native loader unavailable; falling back to PIL")
-        use_native = False
     dataset = RubiksDataset(
         root_path,
         val_list,
@@ -111,7 +118,10 @@ def main():
     print(f"=> videos: {len(dataset)}")
 
     m = pmesh.create_mesh()
-    eval_step = jax.jit(make_eval_step(bundle.model, num_crops=num_views))
+    eval_step = jax.jit(
+        make_eval_step(bundle.model, num_crops=num_views,
+                       fused=args.backend == "fused")
+    )
     variables = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, pmesh.replicated(m)), dict(bundle.variables)
     )
@@ -119,14 +129,25 @@ def main():
     top1, top5 = AverageMeter(), AverageMeter()
     all_preds, all_labels = [], []
     t0 = time.time()
+    host_wait = device_time = 0.0
     seen = 0
-    for i, (video, labels, valid) in enumerate(
-        batch_iterator(dataset, args.batch_size, num_views, args.frames)
-    ):
+    batches = batch_iterator(dataset, args.batch_size, num_views, args.frames)
+    if args.prefetch > 0:
+        batches = prefetch(batches, depth=args.prefetch)
+    it = enumerate(batches)
+    while True:
+        th0 = time.time()
+        try:
+            i, (video, labels, valid) = next(it)
+        except StopIteration:
+            break
+        host_wait += time.time() - th0
+        td0 = time.time()
         batch = pmesh.shard_batch(m, {"v": video.astype(np.float32), "l": labels})
         out = eval_step(variables, batch["v"], batch["l"])
         n_valid = int(valid.sum())
         logits = np.asarray(out["logits"])[:n_valid]
+        device_time += time.time() - td0
         lab = labels[:n_valid]
         preds = logits.argmax(1)
         all_preds.append(preds)
@@ -139,7 +160,9 @@ def main():
             dt = time.time() - t0
             print(
                 f"video {seen} done, total {seen}/{len(dataset)}, "
-                f"average {dt / max(seen, 1):.3f} sec/video, "
+                f"average {dt / max(seen, 1):.3f} sec/video "
+                f"(host-input wait {host_wait:.1f}s, device step+fetch "
+                f"{device_time:.1f}s), "
                 f"moving Prec@1 {top1.avg:.3f} Prec@5 {top5.avg:.3f}"
             )
 
