@@ -89,9 +89,10 @@ def _kernel(
     h_span = (th - 1) * s_h + 1
     w_span = (w_out - 1) * s_w + 1
 
-    # Tap arithmetic in f32: Mosaic on this runtime miscompiles odd-offset
-    # sublane slices of bf16 *values* (see fused_block.py); f32 is exact.
-    f32 = jnp.float32
+    # Tap arithmetic in (at least) f32: Mosaic on this runtime miscompiles
+    # odd-offset sublane slices of bf16 *values* (see fused_block.py); f32
+    # slices are exact. f64 inputs (interpret-mode tests) stay f64.
+    f32 = jnp.promote_types(out_ref.dtype, jnp.float32)
 
     def w_at(ref, j):
         return ref[j, :].astype(f32).reshape(1, 1, c)

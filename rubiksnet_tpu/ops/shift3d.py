@@ -112,8 +112,13 @@ def rubiks_shift_3d_forward(
         out = frac_shift_axis_conv(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
     elif backend == "pallas":
         from .pallas import fused_shift3d_supported, rubiks_shift_3d_fused
+        from .pallas.shift_kernel import (
+            rubiks_shift3d_pallas, shift3d_pallas_supported,
+        )
 
         strides, pads = (st, sh, sw), (pt, ph, pw)
+        if shift3d_pallas_supported(x.shape, strides, pads, max_shift, x.dtype):
+            return rubiks_shift3d_pallas(x, shift, max_shift, quantize)
         if fused_shift3d_supported(x.shape, strides, pads, max_shift, x.dtype):
             return rubiks_shift_3d_fused(x, shift, strides, pads, quantize, max_shift)
         # unsupported config: fall back to the select backend
@@ -145,6 +150,18 @@ def rubiks_shift_3d_input_grad(
     st, sh, sw = _triple(stride)
     pt, ph, pw = _triple(padding)
     shift = shift.astype(og.dtype)
+    if backend == "pallas":
+        from .pallas.shift_kernel import (
+            rubiks_shift3d_pallas, shift3d_pallas_supported,
+        )
+
+        strides, pads = (st, sh, sw), (pt, ph, pw)
+        if shift3d_pallas_supported(og.shape, strides, pads, max_shift,
+                                    og.dtype) and og.shape == tuple(in_shape):
+            # Stride-1 inverse shift = forward shift with negated offsets
+            # (cuda_src/rubiks3d_kernels.cu:455-929 without stride gating).
+            return rubiks_shift3d_pallas(og, shift, max_shift, quantize,
+                                         inverse=True)
     if backend != "gather":
         g = inverse_shift_axis_select(
             og, shift[0], _T_AX, st, pt, in_shape[_T_AX], quantize, max_shift)

@@ -57,11 +57,17 @@ def time_chained(
     n_lo: int = 2,
     n_hi: int = 32,
     repeats: int = 3,
+    max_n_hi: int = 1024,
 ) -> float:
     """Seconds per fn() application, measured on device.
 
     fn: input array -> output pytree. Iterations are serialized by adding
     (0 * first-output-leaf-sum) to the carried input.
+
+    If the (n_hi - n_lo)-iteration delta does not clear the tunnel's
+    fetch-latency jitter (which has been observed at ~1 s), n_hi doubles —
+    up to max_n_hi — before giving up. Fast functions therefore measure
+    correctly at the cost of extra device iterations.
     """
 
     def chained(n):
@@ -72,9 +78,18 @@ def time_chained(
 
         return jax.jit(lambda v: lax.fori_loop(0, n, body, v), static_argnums=())
 
-    return _measure_diff(
-        chained(n_lo), chained(n_hi), example_input, n_lo, n_hi, repeats
-    )
+    err = None
+    while True:
+        try:
+            return _measure_diff(
+                chained(n_lo), chained(n_hi), example_input, n_lo, n_hi,
+                repeats
+            )
+        except RuntimeError as e:
+            err = e
+            if n_hi >= max_n_hi:
+                raise
+            n_hi *= 2
 
 
 def time_chained_carry(
@@ -83,15 +98,25 @@ def time_chained_carry(
     n_lo: int = 2,
     n_hi: int = 16,
     repeats: int = 3,
+    max_n_hi: int = 256,
 ) -> float:
     """Seconds per fn() application for a self-chaining step.
 
     fn: carry pytree -> carry pytree (e.g. a train step closed over its
     batch). Iterations serialize naturally through the carried state, so no
-    artificial dependency injection is needed.
+    artificial dependency injection is needed. n_hi auto-doubles when the
+    delta does not clear the fetch jitter (see time_chained).
     """
 
     def chained(n):
         return jax.jit(lambda c: lax.fori_loop(0, n, lambda i, c: fn(c), c))
 
-    return _measure_diff(chained(n_lo), chained(n_hi), carry, n_lo, n_hi, repeats)
+    while True:
+        try:
+            return _measure_diff(
+                chained(n_lo), chained(n_hi), carry, n_lo, n_hi, repeats
+            )
+        except RuntimeError:
+            if n_hi >= max_n_hi:
+                raise
+            n_hi *= 2

@@ -1,0 +1,83 @@
+"""Shift-op microbenchmark: pallas vs conv vs select, forward and backward.
+
+Times the 3D shift op alone (RubiksNet-Large stage-2/3 shapes) on the
+current device and writes SHIFT_MICROBENCH.json. The backward measures the
+full custom VJP (input-grad + shift-grad), which is the training hot path.
+
+Usage: python scripts/shift_microbench.py [--out SHIFT_MICROBENCH.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="SHIFT_MICROBENCH.json")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--max-shift", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = p.parse_args()
+
+    from rubiksnet_tpu.utils.platform import select_platform
+
+    select_platform()
+    import jax
+    import jax.numpy as jnp
+
+    from rubiksnet_tpu.ops import shift3d as s3d
+    from rubiksnet_tpu.utils.benchmark import time_chained
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    k = args.max_shift
+    shapes = {
+        "stage2": (args.batch, 8, 28, 28, 144),
+        "stage3": (args.batch, 8, 14, 14, 288),
+    }
+    results = {"device": str(jax.devices()[0]), "dtype": args.dtype,
+               "max_shift": k, "cases": {}}
+    for name, shape in shapes.items():
+        x = jnp.asarray(np.random.RandomState(0).randn(*shape), dtype)
+        shift = jnp.asarray(
+            np.random.RandomState(1).uniform(-1.4, 1.4, (3, shape[-1])),
+            jnp.float32,
+        )
+        case = {}
+        for backend in ("pallas", "conv", "select"):
+            fwd = lambda x_: s3d.rubiks_shift_3d_forward(
+                x_, shift, backend=backend, max_shift=k
+            )
+            dt_f = time_chained(fwd, x, n_lo=1, n_hi=33, repeats=3)
+
+            def bwd(x_):
+                def loss(xv):
+                    out = s3d.rubiks_shift_3d(
+                        xv, shift, backend=backend, max_shift=k
+                    )
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
+                return jax.grad(loss)(x_)
+            dt_b = time_chained(bwd, x, n_lo=1, n_hi=17, repeats=3)
+            case[backend] = {"fwd_ms": round(dt_f * 1e3, 3),
+                             "bwd_ms": round(dt_b * 1e3, 3)}
+            print(f"{name} {backend}: fwd {dt_f*1e3:.2f} ms  "
+                  f"fwd+bwd {dt_b*1e3:.2f} ms", flush=True)
+        case["pallas_vs_conv_fwd"] = round(
+            case["conv"]["fwd_ms"] / case["pallas"]["fwd_ms"], 2)
+        case["pallas_vs_conv_bwd"] = round(
+            case["conv"]["bwd_ms"] / case["pallas"]["bwd_ms"], 2)
+        results["cases"][name] = case
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
