@@ -89,11 +89,12 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     # Random-init shifts are U(-1, 1) (layer init; checkpoints autosize this
-    # bound at load time), so the static integer-shift bound is 1.
+    # bound at load time), so the static integer-shift bound is exactly 1:
+    # floor(shift) is in {-1, 0} and the tap window [-K, K+1] covers it.
     shift_backend = "conv" if args.backend == "fused" else args.backend
     bundle = create_rubiksnet(
         args.tier, num_classes=174, num_frames=args.frames, input_size=64,
-        dtype=dtype, shift_backend=shift_backend, shift_max_shift=2,
+        dtype=dtype, shift_backend=shift_backend, shift_max_shift=1,
         remat=args.mode == "train",
     )
 
@@ -159,7 +160,7 @@ def main():
             video = make_video(bs, dtype)
             try:
                 dt = time_chained(
-                    forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=3
+                    forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=4
                 )
             except RuntimeError as e:
                 print(f"warning: bs={bs}: {e}", flush=True)
