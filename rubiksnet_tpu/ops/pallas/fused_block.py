@@ -63,10 +63,14 @@ from ..conv_backend import _shift_kernel
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_LIMIT_CAP = 120 * 1024 * 1024
 _BN_EPS = 1e-5
-# Frames with at least this many (sublane) rows are processed one at a time
-# (per-op overhead is amortized by size); smaller frames batch the whole
-# clip into single big ops.
-_PER_FRAME_ROWS = 2048
+# Frames with at least this many (sublane) rows would be processed one at a
+# time (bounding the f32 temporaries so stage1-sized blocks fit VMEM).
+# DISABLED on TPU for now: the per-frame codegen sends this runtime's Mosaic
+# compiler into a >9-minute (likely unbounded) compile even for tiny shapes
+# (whole-clip codegen compiles fine; bisected on-chip 2026-08-17). Shapes
+# that would need it are reported unsupported and fall back to the XLA conv
+# path. The code path stays for interpret-mode coverage and future runtimes.
+_PER_FRAME_ROWS = 1 << 30
 
 
 def _sub(dtype) -> int:

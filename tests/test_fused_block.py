@@ -97,3 +97,20 @@ def test_fused_block_batch_independence():
     np.testing.assert_allclose(
         np.asarray(full[1:2]), np.asarray(solo), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_block_per_frame_schedule(monkeypatch):
+    """The per-frame schedule (parked on TPU: Mosaic compile hang — see
+    fused_block.py) must stay numerically correct in interpret mode."""
+    import rubiksnet_tpu.ops.pallas.fused_block as fb
+
+    monkeypatch.setattr(fb, "_PER_FRAME_ROWS", 1)
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(7), 2, c, 0.9)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 3, 6, 6, c), jnp.float32)
+    vt, wm = fb.stack_block_params(params, stats, x.dtype, max_shift)
+    got = fb.fused_block_run(x, vt, wm, max_shift=max_shift)
+    want = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
