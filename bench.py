@@ -14,6 +14,7 @@ XLA's compiled cost analysis, so "at the HBM floor" is a measured claim.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -74,9 +75,21 @@ def main():
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the timed region "
+                        "into DIR (view with xprof/tensorboard)")
+    p.add_argument("--in-process", action="store_true",
+                   help="run all batch sizes in this process (default: each "
+                        "batch size runs in a child process with a timeout, "
+                        "so one wedged compile cannot hang the whole bench)")
+    p.add_argument("--per-batch-timeout", type=int, default=900,
+                   help="seconds allowed per batch size in child-process mode")
     args = p.parse_args()
     if args.sweep:
         args.batch_sizes = SWEEP_BATCHES
+
+    if not args.in_process and len(args.batch_sizes) > 1:
+        return supervise(args)
 
     from rubiksnet_tpu.utils.platform import select_platform
 
@@ -84,8 +97,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import contextlib
+
     from rubiksnet_tpu.models import create_rubiksnet
     from rubiksnet_tpu.utils.benchmark import time_chained, time_chained_carry
+    from rubiksnet_tpu.utils.profiling import trace
+
+    trace_ctx = (
+        (lambda: trace(args.trace)) if args.trace else contextlib.nullcontext
+    )
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     # Random-init shifts are U(-1, 1) (layer init; checkpoints autosize this
@@ -130,9 +150,10 @@ def main():
             )
             carry_fn = lambda s: step(s, video, labels)[0]
             try:
-                dt = time_chained_carry(
-                    carry_fn, state0, n_lo=args.warmup, n_hi=args.iters
-                )
+                with trace_ctx():
+                    dt = time_chained_carry(
+                        carry_fn, state0, n_lo=args.warmup, n_hi=args.iters
+                    )
             except RuntimeError as e:
                 print(f"warning: bs={bs}: {e}", flush=True)
                 continue
@@ -159,9 +180,11 @@ def main():
         for bs in args.batch_sizes:
             video = make_video(bs, dtype)
             try:
-                dt = time_chained(
-                    forward, video, n_lo=args.warmup, n_hi=args.iters, repeats=4
-                )
+                with trace_ctx():
+                    dt = time_chained(
+                        forward, video, n_lo=args.warmup, n_hi=args.iters,
+                        repeats=4,
+                    )
             except RuntimeError as e:
                 print(f"warning: bs={bs}: {e}", flush=True)
                 continue
@@ -193,6 +216,72 @@ def main():
             }
         )
     )
+
+
+def supervise(args):
+    """Run each batch size as `bench.py --in-process --batch-sizes N` in a
+    child process with a timeout, then merge the JSON lines.
+
+    Rationale: on this runtime a wedged remote compile helper can hang a
+    compile indefinitely; a hung child is killed and skipped so the bench
+    always emits a result for the sizes that did run."""
+    import subprocess
+    import sys
+
+    merged_results, merged_util = {}, {}
+    metric = vs = device = None
+    base_cmd = [
+        sys.executable, os.path.abspath(__file__), "--in-process",
+        "--tier", args.tier, "--frames", str(args.frames),
+        "--size", str(args.size), "--dtype", args.dtype,
+        "--backend", args.backend, "--iters", str(args.iters),
+        "--warmup", str(args.warmup), "--mode", args.mode,
+    ]
+    for bs in args.batch_sizes:
+        cmd = base_cmd + ["--batch-sizes", str(bs)]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=args.per_batch_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"warning: bs={bs}: timed out after "
+                  f"{args.per_batch_timeout}s (wedged compile?); skipped",
+                  file=sys.stderr, flush=True)
+            continue
+        line = next(
+            (ln for ln in reversed(proc.stdout.splitlines())
+             if ln.startswith("{")), None)
+        if proc.returncode != 0 or line is None:
+            print(f"warning: bs={bs}: child failed "
+                  f"(rc={proc.returncode}): {proc.stderr[-400:]}",
+                  file=sys.stderr, flush=True)
+            continue
+        out = json.loads(line)
+        metric = out["metric"]
+        vs = out["vs_baseline"]
+        device = out["detail"].get("device")
+        merged_results.update(out["detail"]["batch_sweep"])
+        merged_util.update(out["detail"].get("utilization", {}))
+
+    best_bs, best = None, 0.0
+    for k, v in merged_results.items():
+        if v > best:
+            best, best_bs = v, k
+    print(json.dumps({
+        "metric": metric or f"clips/sec/chip RubiksNet-"
+                            f"{args.tier.capitalize()} (no batch completed)",
+        "value": round(best, 2),
+        "unit": "clips/s",
+        "vs_baseline": (round(best / BASELINE_CLIPS_PER_SEC, 3)
+                        if args.mode != "train" else None),
+        "detail": {
+            "batch_sweep": merged_results,
+            "best_batch": int(best_bs) if best_bs is not None else None,
+            "utilization": merged_util,
+            "device": device,
+        },
+    }))
 
 
 if __name__ == "__main__":

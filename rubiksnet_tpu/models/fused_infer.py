@@ -54,13 +54,20 @@ def _block_plan(model: RubiksNet):
 
 def _apply_unfused_block(model, name, in_planes, out_planes, stride, use_se,
                          params, stats, x):
+    # Blocks the fused kernel cannot take still route their shift op through
+    # the one-pass Pallas kernel where it fits (e.g. stage1's 56x56 stride-1
+    # shifts); the op itself falls back to the select formulation otherwise.
+    shift_backend = (
+        "pallas" if model.shift_backend in ("conv", "pallas", "select")
+        else model.shift_backend
+    )
     block = RubiksShiftBlock(
         in_planes=in_planes,
         out_planes=out_planes,
         stride=stride,
         use_se=use_se,
         variant=model.variant,
-        shift_backend=model.shift_backend,
+        shift_backend=shift_backend,
         shift_max_shift=model.shift_max_shift,
         dtype=model.dtype,
     )

@@ -111,7 +111,6 @@ def rubiks_shift_3d_forward(
         out = frac_shift_axis_conv(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
         out = frac_shift_axis_conv(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
     elif backend == "pallas":
-        from .pallas import fused_shift3d_supported, rubiks_shift_3d_fused
         from .pallas.shift_kernel import (
             rubiks_shift3d_pallas, shift3d_pallas_supported,
         )
@@ -119,9 +118,9 @@ def rubiks_shift_3d_forward(
         strides, pads = (st, sh, sw), (pt, ph, pw)
         if shift3d_pallas_supported(x.shape, strides, pads, max_shift, x.dtype):
             return rubiks_shift3d_pallas(x, shift, max_shift, quantize)
-        if fused_shift3d_supported(x.shape, strides, pads, max_shift, x.dtype):
-            return rubiks_shift_3d_fused(x, shift, strides, pads, quantize, max_shift)
-        # unsupported config: fall back to the select backend
+        # Unsupported config (strided, or too large for VMEM): select
+        # backend. (ops/pallas/fused_shift3d.py remains available as a
+        # strided one-pass formulation but measured slower than select.)
         out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt, quantize, max_shift)
         out = frac_shift_axis_select(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
         out = frac_shift_axis_select(out, shift[2], _W_AX, sw, pw, quantize, max_shift)

@@ -8,20 +8,27 @@ driving the CLIs without a TPU).
 import os
 
 
-def select_platform(compilation_cache: bool = False):
-    """Honor RUBIKS_PLATFORM and optionally enable the persistent compilation
-    cache (set RUBIKS_COMPILE_CACHE=<dir>). Opt-in only: on this tunneled
-    runtime CPU compiles are served by a remote host with different CPU
-    features, and cached AOT artifacts can SIGILL when reloaded locally."""
+def select_platform(compilation_cache: bool = None):
+    """Honor RUBIKS_PLATFORM and configure the persistent compilation cache.
+
+    The cache defaults ON for TPU runs (RUBIKS_COMPILE_CACHE=0 disables):
+    TPU executables are target-stable, first compiles of the big models take
+    minutes, and on this tunneled runtime a wedged remote compile helper can
+    otherwise make even previously-built programs unrunnable. It stays OFF
+    for CPU (compiles are served by a remote host with different CPU
+    features; cached AOT artifacts can SIGILL when reloaded locally)."""
     import jax
 
     plat = os.environ.get("RUBIKS_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    if compilation_cache or os.environ.get("RUBIKS_COMPILE_CACHE"):
-        cache_dir = os.environ.get(
-            "RUBIKS_COMPILE_CACHE",
-            os.path.expanduser("~/.cache/rubiksnet_tpu/jax"),
+    env = os.environ.get("RUBIKS_COMPILE_CACHE")
+    if compilation_cache is None:
+        compilation_cache = plat != "cpu" and env != "0"
+    if compilation_cache or (env and env != "0"):
+        cache_dir = (
+            env if env and env not in ("0", "1")
+            else os.path.expanduser("~/.cache/rubiksnet_tpu/jax")
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
