@@ -4,9 +4,9 @@ runs dispatched to the multi-block Pallas kernel (ops/pallas/fused_block.py).
 This is a pure execution strategy over the ordinary parameter pytree — the
 variables are exactly those of models/rubiksnet.py::RubiksNet (same names,
 same shapes, same checkpoints); only the compute schedule changes. Blocks the
-kernel cannot take (stage-entry blocks with stride 2 / channel growth, SE
-variants, AQ attention) run through the regular flax module path, so any
-tier/variant still works end-to-end.
+kernel cannot take (stage-entry blocks with stride 2 / channel growth, AQ
+attention) run through the regular flax module path, so any tier/variant
+still works end-to-end. SE tiers fuse (the gate runs in-kernel).
 
 Mirrors the forward of rubiksnet/models.py:112-117 + backbone.py:156-218.
 """
@@ -24,6 +24,7 @@ from ..ops.pallas.fused_block import (
     fused_block_run,
     fused_block_supported,
     stack_block_params,
+    stack_se_params,
 )
 from .rubiksnet import TIERS, RubiksNet
 
@@ -97,7 +98,6 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
             stride == 1
             and cin == cout
             and model.variant == "rubiks3d"
-            and not use_se
             and fused_block_supported(shape, model.shift_max_shift, dtype)
         )
 
@@ -116,8 +116,12 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 [stats[nm] for nm in run_names],
                 dtype, model.shift_max_shift,
             )
+            se = (
+                stack_se_params([params[nm] for nm in run_names])
+                if use_se else None
+            )
             x = fused_block_run(
-                x.astype(dtype), vt, wm,
+                x.astype(dtype), vt, wm, se,
                 max_shift=model.shift_max_shift,
             )
             i = j

@@ -141,8 +141,12 @@ def fused_block_supported(shape, max_shift, dtype) -> bool:
     return pick_group(shape, max_shift, dtype) >= 1
 
 
+def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, **kw):
+    _kernel(x_ref, vt_ref, wm_ref, None, out_ref, acc, cbuf, wbuf, **kw)
+
+
 def _kernel(
-    x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf,
+    x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, wbuf,
     *, g_len, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
 ):
     i = pl.program_id(0)
@@ -183,6 +187,22 @@ def _kernel(
     u_len = t_len * hp
     v_len = u_len - 2 * k - 1  # frame t's valid rows: [t*hp, t*hp + h)
     per_frame = h_len * wp >= _PER_FRAME_ROWS
+
+    def se_gate(v_frame):
+        """Squeeze-excitation gate (1, c) for one frame's shifted activation
+        (backbone.py SELayer: spatial mean, fc-relu-fc, sigmoid)."""
+        m = jnp.sum(v_frame[:, :w_len, :], axis=(0, 1)).reshape(1, c) * (
+            1.0 / (h_len * w_len)
+        )
+        y1 = jnp.maximum(
+            jnp.dot(m, se_ref[0, 0], preferred_element_type=f32), 0
+        )
+        y2 = jax.lax.dot_general(
+            y1, se_ref[0, 1],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        return jax.nn.sigmoid(y2)
 
     def clip_body(g, _):
         base = g * th
@@ -242,6 +262,8 @@ def _kernel(
                         u[j : j + h_len]
                     )
                     v = term if v is None else v + term
+                if se_ref is not None:
+                    v = v * se_gate(v).reshape(1, 1, c)
                 e = jnp.dot(v.astype(acc.dtype).reshape(h_len * wp, c), w3,
                             preferred_element_type=f32)
                 rows = pl.ds(base + t * h_len, h_len)
@@ -261,12 +283,27 @@ def _kernel(
                     u[j : j + v_len]
                 )
                 v = term if v is None else v + term
-            e = jnp.dot(v.astype(acc.dtype).reshape(v_len * wp, c), w3,
-                        preferred_element_type=f32)
-            e3 = e.reshape(v_len, wp, c).astype(acc.dtype)
-            for t in range(t_len):
-                rows = pl.ds(base + t * h_len, h_len)
-                acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+            if se_ref is None:
+                e = jnp.dot(v.astype(acc.dtype).reshape(v_len * wp, c), w3,
+                            preferred_element_type=f32)
+                e3 = e.reshape(v_len, wp, c).astype(acc.dtype)
+                for t in range(t_len):
+                    rows = pl.ds(base + t * h_len, h_len)
+                    acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+            else:
+                # SE gates are per (clip, frame): gate each frame's valid
+                # rows, then per-frame matmuls.
+                for t in range(t_len):
+                    v_t = v[t * hp : t * hp + h_len]
+                    v_t = v_t * se_gate(v_t).reshape(1, 1, c)
+                    e = jnp.dot(
+                        v_t.astype(acc.dtype).reshape(h_len * wp, c), w3,
+                        preferred_element_type=f32,
+                    )
+                    rows = pl.ds(base + t * h_len, h_len)
+                    acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(
+                        acc.dtype
+                    )
         return 0
 
     jax.lax.fori_loop(0, g_len, clip_body, 0)
@@ -276,7 +313,8 @@ def _kernel(
         out_ref[...] = acc[:, :w_len, :].astype(out_dtype)
 
 
-def fused_block_run(x, vt, wm, *, max_shift, group=None, interpret=None):
+def fused_block_run(x, vt, wm, se=None, *, max_shift, group=None,
+                    interpret=None):
     """Apply a chain of B fused blocks to a clip batch.
 
     Args:
@@ -285,6 +323,9 @@ def fused_block_run(x, vt, wm, *, max_shift, group=None, interpret=None):
         then the T/H/W-axis shift tap weights (conv_backend._shift_kernel
         layout: tap j <-> offset j - K).
       wm: (B, 2, C, C) x.dtype — the two 1x1 conv kernels (in, out).
+      se: optional (B, 2, C, Cr) f32 squeeze-excitation weights (fc1 and
+        fc2 transposed, Cr = C // reduction zero-padded to its value) — when
+        given, every block applies the SE gate between shift and conv3.
       max_shift: static K bound on the integer part of the shifts.
       group: clips per grid step (default: auto via pick_group).
 
@@ -304,24 +345,33 @@ def fused_block_run(x, vt, wm, *, max_shift, group=None, interpret=None):
 
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
-        _kernel,
+        _kernel if se is not None else _kernel_no_se,
         g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
         wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype,
     )
     flops_per_step = g_len * (
         2 * 2 * th * wp * c * c + 3 * taps_n * 2 * th * wph * c
     )
+    in_specs = [
+        pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4 + 3 * taps_n, c), lambda i, b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, c, c), lambda i, b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [x3, vt, wm]
+    if se is not None:
+        assert se.ndim == 4 and se.shape[:3] == (nb, 2, c), se.shape
+        in_specs.append(
+            pl.BlockSpec((1, 2, c, se.shape[3]), lambda i, b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(se)
     out = pl.pallas_call(
         kernel,
         grid=(n // g_len, nb),
-        in_specs=[
-            pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 + 3 * taps_n, c), lambda i, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c, c), lambda i, b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * th, w_len, c), x.dtype),
@@ -346,7 +396,7 @@ def fused_block_run(x, vt, wm, *, max_shift, group=None, interpret=None):
         ),
         interpret=(jax.default_backend() != "tpu") if interpret is None
         else interpret,
-    )(x3, vt, wm)
+    )(*inputs)
     return out.reshape(n, t_len, h_len, w_len, c)
 
 
@@ -388,3 +438,14 @@ def stack_block_params(block_params, block_stats, dtype, max_shift,
             p["conv3"]["kernel"].reshape(c, c).astype(dtype),
         ]))
     return jnp.stack(vts), jnp.stack(wms)
+
+
+def stack_se_params(block_params):
+    """Stack per-block SELayer weights into the kernel's (B, 2, C, Cr)
+    array: slot 0 = fc1 (C, Cr), slot 1 = fc2 transposed (C, Cr)."""
+    ses = []
+    for p in block_params:
+        fc1 = p["se"]["fc1"]["kernel"].astype(jnp.float32)  # (C, Cr)
+        fc2 = p["se"]["fc2"]["kernel"].astype(jnp.float32)  # (Cr, C)
+        ses.append(jnp.stack([fc1, fc2.T]))
+    return jnp.stack(ses)

@@ -18,7 +18,7 @@ from rubiksnet_tpu.ops.pallas.fused_block import (
 )
 
 
-def _make_blocks(key, n_blocks, c, shift_scale=1.8):
+def _make_blocks(key, n_blocks, c, shift_scale=1.8, se_reduction=None):
     """Random-weight stride-1 blocks with realistic BN statistics."""
     params, stats = [], []
     for i in range(n_blocks):
@@ -36,6 +36,13 @@ def _make_blocks(key, n_blocks, c, shift_scale=1.8):
             "as3": {"rubiks3d": {"shift": u(ks[6], (3, c), -shift_scale,
                                             shift_scale)}},
         })
+        if se_reduction:
+            cr = c // se_reduction
+            key, kse1, kse2 = jax.random.split(key, 3)
+            params[-1]["se"] = {
+                "fc1": {"kernel": jax.random.normal(kse1, (c, cr)) / np.sqrt(c)},
+                "fc2": {"kernel": jax.random.normal(kse2, (cr, c)) / np.sqrt(cr)},
+            }
         key, k1, k2 = jax.random.split(key, 3)
         stats.append({
             "bn1": {"mean": u(k1, (c,), -0.2, 0.2), "var": u(k1, (c,), 0.5, 2.0)},
@@ -44,11 +51,11 @@ def _make_blocks(key, n_blocks, c, shift_scale=1.8):
     return params, stats
 
 
-def _unfused(params, stats, x, backend, max_shift):
+def _unfused(params, stats, x, backend, max_shift, use_se=False):
     c = x.shape[-1]
     block = RubiksShiftBlock(
         in_planes=c, out_planes=c, stride=1, shift_backend=backend,
-        shift_max_shift=max_shift, dtype=x.dtype,
+        shift_max_shift=max_shift, dtype=x.dtype, use_se=use_se,
     )
     out = x
     for p, s in zip(params, stats):
@@ -113,4 +120,22 @@ def test_fused_block_per_frame_schedule(monkeypatch):
     want = _unfused(params, stats, x, "conv", max_shift)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_block_se_gate():
+    """SE tiers run the squeeze-excitation gate inside the kernel."""
+    from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
+
+    c, max_shift, red = 144, 1, 12
+    params, stats = _make_blocks(
+        jax.random.PRNGKey(9), 2, c, 0.9, se_reduction=red
+    )
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 3, 6, 6, c), jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    se = stack_se_params(params)
+    got = fused_block_run(x, vt, wm, se, max_shift=max_shift)
+    want = _unfused(params, stats, x, "conv", max_shift, use_se=red)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )

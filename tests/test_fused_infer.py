@@ -27,8 +27,8 @@ def test_fused_infer_matches_model_tiny():
 
 
 def test_fused_infer_matches_model_small_se():
-    """SE tier: every block falls back to the unfused path; executor must
-    still agree."""
+    """SE tier: stride-1 blocks fuse with the in-kernel SE gate; the
+    executor must still agree with the regular apply."""
     bundle = create_rubiksnet(
         "small", num_classes=5, num_frames=2, input_size=16,
         shift_backend="conv", shift_max_shift=2,
