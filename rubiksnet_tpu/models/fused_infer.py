@@ -24,6 +24,7 @@ from ..ops.pallas.fused_block import (
     fused_block_run,
     fused_block_supported,
     stack_block_params,
+    stack_block_params_aq,
     stack_se_params,
 )
 from .rubiksnet import TIERS, RubiksNet
@@ -93,11 +94,13 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     )
     x = stem.apply({"params": params["conv1"]}, video)
 
+    aq = model.variant == "rubiks3d-aq"
+
     def fusable(name, cin, cout, stride, shape):
         return (
             stride == 1
             and cin == cout
-            and model.variant == "rubiks3d"
+            and model.variant in ("rubiks3d", "rubiks3d-aq")
             and fused_block_supported(shape, model.shift_max_shift, dtype)
         )
 
@@ -111,7 +114,8 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 run.append(plan[j])
                 j += 1
             run_names = [r[0] for r in run]
-            vt, wm = stack_block_params(
+            stack = stack_block_params_aq if aq else stack_block_params
+            vt, wm = stack(
                 [params[nm] for nm in run_names],
                 [stats[nm] for nm in run_names],
                 dtype, model.shift_max_shift,
@@ -121,7 +125,7 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 if use_se else None
             )
             x = fused_block_run(
-                x.astype(dtype), vt, wm, se,
+                x.astype(dtype), vt, wm, se, aq=aq,
                 max_shift=model.shift_max_shift,
             )
             i = j

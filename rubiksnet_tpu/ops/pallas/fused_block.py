@@ -105,6 +105,8 @@ def _group_vmem_bytes(shape, max_shift, dtype, group: int) -> int:
     acc = g * t * h * wp * cp * itemsize
     cbuf = g * tp * hp * wph * cp * itemsize
     wbuf = g * tp * hp * wp * cp * itemsize
+    # conservative: include the AQ activation buffer even for non-AQ runs
+    abuf = g * (t + 2) * h * wp * cp * itemsize
     io_blocks = 2 * 2 * g * t * h * wp * cp * itemsize  # double-buffered io
     weight_blocks = 2 * 2 * cp * cp * itemsize
     if h * wp >= _PER_FRAME_ROWS:
@@ -115,7 +117,7 @@ def _group_vmem_bytes(shape, max_shift, dtype, group: int) -> int:
         # full clip + one halo frame of the W stage.
         temps = (2 * t * h * wp * cp * 4 + 2 * t * hp * wp * cp * 4
                  + 2 * hp * wph * cp * 4)
-    return acc + cbuf + wbuf + io_blocks + weight_blocks + temps
+    return acc + cbuf + wbuf + abuf + io_blocks + weight_blocks + temps
 
 
 def fused_block_vmem_bytes(shape, max_shift, dtype) -> int:
@@ -141,13 +143,16 @@ def fused_block_supported(shape, max_shift, dtype) -> bool:
     return pick_group(shape, max_shift, dtype) >= 1
 
 
-def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, **kw):
-    _kernel(x_ref, vt_ref, wm_ref, None, out_ref, acc, cbuf, wbuf, **kw)
+def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, abuf,
+                  **kw):
+    _kernel(x_ref, vt_ref, wm_ref, None, out_ref, acc, cbuf, wbuf, abuf,
+            **kw)
 
 
 def _kernel(
-    x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, wbuf,
+    x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, wbuf, abuf,
     *, g_len, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
+    aq=False,
 ):
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -163,6 +168,8 @@ def _kernel(
         # is fully overwritten every step.
         cbuf[...] = jnp.zeros_like(cbuf)
         acc[...] = jnp.zeros_like(acc)
+        if aq:
+            abuf[...] = jnp.zeros_like(abuf)
 
     @pl.when(b == 0)
     def _load():
@@ -204,19 +211,50 @@ def _kernel(
         )
         return jax.nn.sigmoid(y2)
 
+    def aq_mix(a_full, abase):
+        """3-tap attention temporal shift over the activated clip: the
+        packed (t, h) row layout makes 'frame t+-1' a row shift by h_len
+        (zero boundary frames from the once-zeroed abuf halo)."""
+        abuf[pl.ds(abase + h_len, th)] = a_full.astype(acc.dtype)
+        mixed = None
+        for j in range(3):
+            term = vt_ref[0, 4 + 3 * taps_n + j, :].reshape(1, 1, c) * (
+                abuf[pl.ds(abase + j * h_len, th)].astype(f32)
+            )
+            mixed = term if mixed is None else mixed + term
+        return mixed.astype(acc.dtype)
+
     def clip_body(g, _):
         base = g * th
         cbase = g * fhp
-        # Pass 1: bn1+relu, 1x1-conv matmul, bn2+relu, scatter the valid
-        # region into the zero-padded halo buffer, rows laid out (t', h) so
-        # temporal taps are whole-slab row shifts. Small frames batch the
-        # whole clip into one matmul; big frames go one frame at a time to
-        # bound the f32 temporaries.
+        abase = g * (t_len + 2) * h_len
+        # Pass 1: bn1+relu, [AQ attention temporal shift], 1x1-conv matmul,
+        # bn2+relu, scatter the valid region into the zero-padded halo
+        # buffer, rows laid out (t', h) so temporal taps are whole-slab row
+        # shifts. Small frames batch the whole clip into one matmul; big
+        # frames go one frame at a time to bound the f32 temporaries.
         if per_frame:
             for t in range(t_len):
                 a = jnp.maximum(
                     acc[pl.ds(base + t * h_len, h_len)] * bn1_s + bn1_b, 0
                 )
+                if aq:
+                    abuf[pl.ds(abase + (1 + t) * h_len, h_len)] = a
+            for t in range(t_len):
+                if aq:
+                    a = None
+                    for j in range(3):
+                        term = vt_ref[0, 4 + 3 * taps_n + j, :].reshape(
+                            1, 1, c
+                        ) * abuf[pl.ds(abase + (t + j) * h_len,
+                                       h_len)].astype(f32)
+                        a = term if a is None else a + term
+                    a = a.astype(acc.dtype)
+                else:
+                    a = jnp.maximum(
+                        acc[pl.ds(base + t * h_len, h_len)] * bn1_s + bn1_b,
+                        0,
+                    )
                 bm = jnp.dot(a.reshape(h_len * wp, c), w2,
                              preferred_element_type=f32)
                 cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
@@ -224,6 +262,8 @@ def _kernel(
                      k : k + w_len, :] = cm.reshape(h_len, wp, c)[:, :w_len, :]
         else:
             a = jnp.maximum(acc[pl.ds(base, th)] * bn1_s + bn1_b, 0)
+            if aq:
+                a = aq_mix(a, abase)
             bm = jnp.dot(a.reshape(th * wp, c), w2,
                          preferred_element_type=f32)
             cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
@@ -250,12 +290,16 @@ def _kernel(
         # second 1x1-conv matmul and the shortcut add into acc.
         if per_frame:
             for t in range(t_len):
-                u = None
-                for j in range(taps_n):
-                    term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
-                        wbuf[pl.ds(cbase + (t + j) * hp, hp)].astype(f32)
-                    )
-                    u = term if u is None else u + term
+                if aq:
+                    # AQ's spatial shift is 2D: temporal taps are identity.
+                    u = wbuf[pl.ds(cbase + (t + k) * hp, hp)].astype(f32)
+                else:
+                    u = None
+                    for j in range(taps_n):
+                        term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
+                            wbuf[pl.ds(cbase + (t + j) * hp, hp)].astype(f32)
+                        )
+                        u = term if u is None else u + term
                 v = None
                 for j in range(taps_n):
                     term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
@@ -271,12 +315,16 @@ def _kernel(
         else:
             # Whole-clip big ops: the few inter-frame garbage rows (hp vs h)
             # ride through the matmul and are dropped at extraction.
-            u = None
-            for j in range(taps_n):
-                term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
-                    wbuf[pl.ds(cbase + j * hp, u_len)].astype(f32)
-                )
-                u = term if u is None else u + term
+            if aq:
+                # AQ's spatial shift is 2D: temporal taps are identity.
+                u = wbuf[pl.ds(cbase + k * hp, u_len)].astype(f32)
+            else:
+                u = None
+                for j in range(taps_n):
+                    term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
+                        wbuf[pl.ds(cbase + j * hp, u_len)].astype(f32)
+                    )
+                    u = term if u is None else u + term
             v = None
             for j in range(taps_n):
                 term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
@@ -313,7 +361,7 @@ def _kernel(
         out_ref[...] = acc[:, :w_len, :].astype(out_dtype)
 
 
-def fused_block_run(x, vt, wm, se=None, *, max_shift, group=None,
+def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
                     interpret=None):
     """Apply a chain of B fused blocks to a clip batch.
 
@@ -336,7 +384,8 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, group=None,
     k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift,
                                         x.dtype)
     taps_n = 2 * k + 2
-    assert vt.shape == (nb, 4 + 3 * taps_n, c), vt.shape
+    vt_rows = 4 + 3 * taps_n + (3 if aq else 0)
+    assert vt.shape == (nb, vt_rows, c), (vt.shape, vt_rows)
     assert wm.shape == (nb, 2, c, c), wm.shape
     g_len = group if group is not None else pick_group(x.shape, max_shift,
                                                        x.dtype)
@@ -347,7 +396,7 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, group=None,
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
         g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
-        wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype,
+        wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype, aq=aq,
     )
     flops_per_step = g_len * (
         2 * 2 * th * wp * c * c + 3 * taps_n * 2 * th * wph * c
@@ -355,7 +404,7 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, group=None,
     in_specs = [
         pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 4 + 3 * taps_n, c), lambda i, b: (b, 0, 0),
+        pl.BlockSpec((1, vt_rows, c), lambda i, b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2, c, c), lambda i, b: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -379,6 +428,11 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, group=None,
             pltpu.VMEM((g_len * th, wp, c), x.dtype),       # accumulator
             pltpu.VMEM((g_len * tp * hp, wph, c), x.dtype),  # halo buffer
             pltpu.VMEM((g_len * tp * hp, wp, c), x.dtype),   # W-shifted
+            # AQ: activated frames with one zero boundary frame per side
+            pltpu.VMEM(
+                (g_len * (t_len + 2) * h_len, wp, c) if aq else (8, 8, 128),
+                x.dtype,
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
@@ -433,6 +487,40 @@ def stack_block_params(block_params, block_stats, dtype, max_shift,
             [jnp.stack([s1, b1, s2, b2]).astype(jnp.float32), taps]
         ))
         c = shift.shape[-1]
+        wms.append(jnp.stack([
+            p["conv2"]["kernel"].reshape(c, c).astype(dtype),
+            p["conv3"]["kernel"].reshape(c, c).astype(dtype),
+        ]))
+    return jnp.stack(vts), jnp.stack(wms)
+
+
+def stack_block_params_aq(block_params, block_stats, dtype, max_shift,
+                          temperature=2.0):
+    """Stack AQ-variant blocks: 2D spatial shift (as3.shift, (2, C)) with an
+    identity temporal tap row, plus 3 rows of normalized attention-shift
+    weights appended (rubiksnet/attention_shift.py semantics)."""
+    from ..attention_shift import attention_shift_weights
+
+    vts, wms = [], []
+    for p, s in zip(block_params, block_stats):
+        s1, b1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
+                         s["bn1"]["mean"], s["bn1"]["var"])
+        s2, b2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
+                         s["bn2"]["mean"], s["bn2"]["var"])
+        shift2d = p["as3"]["shift"].astype(dtype)  # (2, C): (sH, sW)
+        c = shift2d.shape[-1]
+        zero = jnp.zeros((c,), dtype)
+        taps = jnp.concatenate([
+            _shift_kernel(zero, dtype, max_shift, False),  # identity T
+            _shift_kernel(shift2d[0], dtype, max_shift, False),
+            _shift_kernel(shift2d[1], dtype, max_shift, False),
+        ]).astype(jnp.float32)
+        aw = attention_shift_weights(
+            p["aq_shift"]["weight"].astype(dtype), temperature
+        ).astype(jnp.float32)  # (C, 3)
+        vts.append(jnp.concatenate([
+            jnp.stack([s1, b1, s2, b2]).astype(jnp.float32), taps, aw.T,
+        ]))
         wms.append(jnp.stack([
             p["conv2"]["kernel"].reshape(c, c).astype(dtype),
             p["conv3"]["kernel"].reshape(c, c).astype(dtype),

@@ -41,3 +41,19 @@ def test_fused_infer_matches_model_small_se():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )
+
+
+def test_fused_infer_matches_model_aq():
+    """AQ variant: attention temporal shift + 2D spatial shift fuse."""
+    bundle = create_rubiksnet(
+        "tiny", num_classes=7, num_frames=3, input_size=32,
+        variant="rubiks3d-aq", shift_backend="conv", shift_max_shift=2,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(2), (2, 3, 32, 32, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
