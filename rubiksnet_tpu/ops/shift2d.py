@@ -74,6 +74,22 @@ def rubiks_shift_2d_forward(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     shift = shift.astype(x.dtype)
+    if backend == "pallas" and not quantize:
+        # The 2D shift is the 3D one-pass kernel with T=1 and an identity
+        # temporal row.
+        from .pallas.shift_kernel import (
+            rubiks_shift3d_pallas, shift3d_pallas_supported,
+        )
+
+        x5 = x[:, None]
+        if shift3d_pallas_supported(
+            x5.shape, (1, sh, sw), (0, ph, pw), max_shift, x.dtype
+        ):
+            shift3 = jnp.concatenate(
+                [jnp.zeros((1, x.shape[-1]), shift.dtype), shift]
+            )
+            return rubiks_shift3d_pallas(x5, shift3, max_shift, False)[:, 0]
+        backend = "select"
     if backend == "conv" and not quantize:
         out = frac_shift_axis_conv(x, shift[0], _H_AX, sh, ph, False, max_shift)
         out = frac_shift_axis_conv(out, shift[1], _W_AX, sw, pw, False, max_shift)
@@ -94,6 +110,24 @@ def rubiks_shift_2d_input_grad(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     shift = shift.astype(og.dtype)
+    if backend == "pallas" and not quantize:
+        from .pallas.shift_kernel import (
+            rubiks_shift3d_pallas, shift3d_pallas_supported,
+        )
+
+        og5 = og[:, None]
+        if (
+            shift3d_pallas_supported(
+                og5.shape, (1, sh, sw), (0, ph, pw), max_shift, og.dtype
+            )
+            and og.shape == tuple(in_shape)
+        ):
+            shift3 = jnp.concatenate(
+                [jnp.zeros((1, og.shape[-1]), shift.dtype), shift]
+            )
+            return rubiks_shift3d_pallas(
+                og5, shift3, max_shift, False, inverse=True
+            )[:, 0]
     if backend != "gather" and not quantize:
         # (2D quantize uses round-half-away semantics -> gather only)
         g = inverse_shift_axis_select(

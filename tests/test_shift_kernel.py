@@ -70,3 +70,28 @@ def test_vjp_through_pallas_backend():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
+
+
+def test_shift2d_pallas_backend():
+    """2D shift routes through the 3D one-pass kernel (T=1, identity row)."""
+    from rubiksnet_tpu.ops import shift2d as s2d
+
+    c, k = 128, 1
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 7, 9, c), jnp.float32)
+    shift = jax.random.uniform(
+        jax.random.PRNGKey(7), (2, c), jnp.float32, -1.5, 1.5
+    )
+    got = s2d.rubiks_shift_2d_forward(x, shift, backend="pallas", max_shift=k)
+    want = s2d.rubiks_shift_2d_forward(x, shift, backend="select", max_shift=k)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    gg = s2d.rubiks_shift_2d_input_grad(
+        x, shift, x.shape, backend="pallas", max_shift=k
+    )
+    gw = s2d.rubiks_shift_2d_input_grad(
+        x, shift, x.shape, backend="select", max_shift=k
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg), np.asarray(gw), rtol=1e-5, atol=1e-5
+    )
