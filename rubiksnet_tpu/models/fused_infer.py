@@ -22,7 +22,9 @@ from ..nn.backbone import RubiksShiftBlock, conv_init
 from ..ops.pallas.fused_block import (
     fold_bn,
     fused_block_run,
+    fused_block_run_htiled,
     fused_block_supported,
+    pick_htile,
     stack_block_params,
     stack_block_params_aq,
     stack_se_params,
@@ -97,12 +99,15 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     aq = model.variant == "rubiks3d-aq"
 
     def fusable(name, cin, cout, stride, shape):
-        return (
-            stride == 1
-            and cin == cout
-            and model.variant in ("rubiks3d", "rubiks3d-aq")
-            and fused_block_supported(shape, model.shift_max_shift, dtype)
-        )
+        if not (stride == 1 and cin == cout
+                and model.variant in ("rubiks3d", "rubiks3d-aq")):
+            return False
+        if fused_block_supported(shape, model.shift_max_shift, dtype):
+            return True
+        # Too big for a whole clip in VMEM: H-tiling works when SE is off.
+        return not use_se and pick_htile(
+            shape, 1, model.shift_max_shift, dtype
+        ) is not None
 
     i = 0
     while i < len(plan):
@@ -124,10 +129,35 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 stack_se_params([params[nm] for nm in run_names])
                 if use_se else None
             )
-            x = fused_block_run(
-                x.astype(dtype), vt, wm, se, aq=aq,
-                max_shift=model.shift_max_shift,
-            )
+            x = x.astype(dtype)
+            if fused_block_supported(x.shape, model.shift_max_shift, dtype):
+                x = fused_block_run(
+                    x, vt, wm, se, aq=aq, max_shift=model.shift_max_shift,
+                )
+            else:
+                tile_h = pick_htile(
+                    x.shape, len(run_names), model.shift_max_shift, dtype
+                )
+                if tile_h is None:
+                    # Halo would dominate a long chain: split the run into
+                    # single blocks, each tiled independently.
+                    for nm in run_names:
+                        vt1, wm1 = (stack_block_params_aq if aq else
+                                    stack_block_params)(
+                            [params[nm]], [stats[nm]], dtype,
+                            model.shift_max_shift,
+                        )
+                        x = fused_block_run_htiled(
+                            x, vt1, wm1, None, aq=aq,
+                            max_shift=model.shift_max_shift,
+                            tile_h=pick_htile(x.shape, 1,
+                                              model.shift_max_shift, dtype),
+                        )
+                else:
+                    x = fused_block_run_htiled(
+                        x, vt, wm, None, aq=aq,
+                        max_shift=model.shift_max_shift, tile_h=tile_h,
+                    )
             i = j
         else:
             x = _apply_unfused_block(

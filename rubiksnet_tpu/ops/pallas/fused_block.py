@@ -454,6 +454,68 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
     return out.reshape(n, t_len, h_len, w_len, c)
 
 
+def pick_htile(shape, nb, max_shift, dtype):
+    """Choose an H tile size for fused_block_run_htiled, or None.
+
+    Returns the largest divisor of H whose overlapped tiles fit VMEM with at
+    most ~60% halo recompute overhead."""
+    n, t, h, w, c = shape
+    halo = nb * (max_shift + 1)
+    for tile_h in sorted((d for d in range(1, h) if h % d == 0),
+                         reverse=True):
+        if tile_h + 2 * halo > h:
+            continue  # window must fit inside the clip (clamped windows)
+        if (tile_h + 2 * halo) / tile_h > 1.6:
+            return None  # halo recompute overhead too high
+        tiled = (n * (h // tile_h), t, tile_h + 2 * halo, w, c)
+        if pick_group(tiled, max_shift, dtype) >= 1:
+            return tile_h
+    return None
+
+
+def fused_block_run_htiled(x, vt, wm, se=None, *, max_shift, tile_h,
+                           aq=False, group=None, interpret=None):
+    """fused_block_run over H-tiles with overlapped halos, for stages whose
+    whole clip does not fit VMEM (e.g. 112x112 early stages).
+
+    Overlapping windows are materialized in XLA (one cheap gather pass) and
+    run through the unchanged kernel as independent "clips". Window rows
+    within nb*(K+1) of a window edge go stale (zero-fill instead of true
+    neighbors, compounding (K+1) rows per chained block), so each tile keeps
+    only its interior. Windows are CLAMPED to the clip rather than padded:
+    at the true clip edges the kernel's own halo provides the exact
+    zero-fill (a zero-padded input row would instead produce
+    relu(bn2(conv2(relu(bn1(0))))) != 0 in shift space)."""
+    n, t_len, h_len, w_len, c = x.shape
+    nb = vt.shape[0]
+    halo = nb * (max_shift + 1)
+    # SE's gate is a global spatial mean — it cannot be computed on a tile.
+    assert se is None, "SE blocks cannot be H-tiled"
+    assert h_len % tile_h == 0, (h_len, tile_h)
+    n_tiles = h_len // tile_h
+    win = tile_h + 2 * halo
+    assert win <= h_len, (tile_h, halo, h_len)
+    starts = [
+        min(max(j * tile_h - halo, 0), h_len - win) for j in range(n_tiles)
+    ]
+    tiles = jnp.stack(
+        [jax.lax.slice_in_dim(x, s, s + win, axis=2) for s in starts],
+        axis=1,
+    )  # (N, n_tiles, T, win, W, C)
+    xt = tiles.reshape(n * n_tiles, t_len, win, w_len, c)
+    out = fused_block_run(xt, vt, wm, se, max_shift=max_shift, aq=aq,
+                          group=group, interpret=interpret)
+    out = out.reshape(n, n_tiles, t_len, win, w_len, c)
+    parts = [
+        jax.lax.slice_in_dim(
+            out[:, j], j * tile_h - starts[j],
+            j * tile_h - starts[j] + tile_h, axis=2,
+        )
+        for j in range(n_tiles)
+    ]
+    return jnp.concatenate(parts, axis=2)
+
+
 def fold_bn(gamma, beta, mean, var, eps=_BN_EPS):
     """Inference-time batch-norm folding: y = scale * x + bias."""
     scale = gamma / jnp.sqrt(var + eps)

@@ -139,3 +139,25 @@ def test_fused_block_se_gate():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )
+
+
+def test_fused_block_htiled_matches_whole():
+    """Overlapped H-tiling is exact: halo = nb*(K+1) covers the stale
+    region of a chained run."""
+    from rubiksnet_tpu.ops.pallas.fused_block import fused_block_run_htiled
+
+    c, max_shift = 128, 1
+    for nb, tile_sizes in ((2, (4,)), (1, (3, 4, 6))):
+        params, stats = _make_blocks(jax.random.PRNGKey(11), nb, c, 0.9)
+        x = jax.random.normal(jax.random.PRNGKey(12), (2, 3, 12, 6, c),
+                              jnp.float32)
+        vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+        whole = fused_block_run(x, vt, wm, max_shift=max_shift)
+        for tile_h in tile_sizes:
+            tiled = fused_block_run_htiled(
+                x, vt, wm, max_shift=max_shift, tile_h=tile_h
+            )
+            np.testing.assert_allclose(
+                np.asarray(tiled), np.asarray(whole), rtol=1e-5, atol=1e-5,
+                err_msg=f"nb={nb} tile_h={tile_h}",
+            )
