@@ -134,3 +134,42 @@ def test_reference_shift3d_module_matches_our_op():
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 1, 4, 2, 3), ref, atol=1e-5, rtol=0
     )
+
+
+@pytest.mark.parametrize(
+    "tier,variant",
+    [
+        ("tiny", "rubiks3d"),
+        ("small", "rubiks3d"),   # SE gate in-kernel
+        ("tiny", "rubiks3d-aq"),  # attention shift in-kernel
+    ],
+)
+def test_reference_weights_into_fused_executor(tier, variant, tmp_path):
+    """Reference random weights through the FUSED inference executor (the
+    production Pallas path) must also match the reference's CPU forward."""
+    from rubiksnet_tpu.models.fused_infer import fused_infer_apply
+
+    net = _reference_net(tier, variant, seed=5)
+    ckpt = {
+        "tier": tier,
+        "num_classes": 5,
+        "num_frames": T,
+        "variant": variant,
+        "model": net.state_dict(),
+    }
+    path = str(tmp_path / "ref.pth.tar")
+    torch.save(ckpt, path)
+    bundle = load_pretrained(path, shift_backend="conv")
+
+    import jax.numpy as jnp
+
+    video = np.random.RandomState(4).randn(N, T, 3, SIZE, SIZE).astype(
+        np.float32
+    )
+    ref = _reference_logits(net, video)
+    got = np.asarray(
+        fused_infer_apply(
+            bundle.model, bundle.variables, from_ntchw(jnp.asarray(video))
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=5 * ATOL, rtol=0)
