@@ -57,3 +57,37 @@ def test_fused_infer_matches_model_aq():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )
+
+
+def test_fused_eval_step_on_mesh():
+    """Fused eval step composes with the sharded batch path (8-device CPU
+    mesh; on real multi-chip hardware the kernel partitions over the batch
+    grid dimension)."""
+    import numpy as np
+
+    from rubiksnet_tpu.parallel import mesh as pmesh
+    from rubiksnet_tpu.train.steps import make_eval_step
+
+    bundle = create_rubiksnet(
+        "tiny", num_classes=5, num_frames=2, input_size=16,
+        shift_backend="conv", shift_max_shift=1,
+    )
+    m = pmesh.create_mesh()
+    step = jax.jit(make_eval_step(bundle.model, num_crops=1, fused=True))
+    variables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, pmesh.replicated(m)),
+        dict(bundle.variables),
+    )
+    video = np.random.RandomState(0).randn(8, 1, 2, 16, 16, 3).astype(
+        np.float32
+    )
+    labels = np.arange(8, dtype=np.int32) % 5
+    batch = pmesh.shard_batch(m, {"v": video, "l": labels})
+    out = step(variables, batch["v"], batch["l"])
+    ref = make_eval_step(bundle.model, num_crops=1, fused=False)(
+        dict(bundle.variables), jnp.asarray(video), jnp.asarray(labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]),
+        rtol=1e-4, atol=1e-4,
+    )
