@@ -13,6 +13,7 @@ Mirrors the forward of rubiksnet/models.py:112-117 + backbone.py:156-218.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -97,6 +98,12 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     x = stem.apply({"params": params["conv1"]}, video)
 
     aq = model.variant == "rubiks3d-aq"
+    # H-tiled execution of clips too large for VMEM is opt-in: it is exact
+    # (tests) but measured slower than the XLA conv path for the early
+    # stages on v5e (tile windows at C=72 waste 44% of the lanes, and the
+    # tile count multiplies the per-step cost), and its kernels compile
+    # slowly on this runtime.
+    use_htile = os.environ.get("RUBIKS_FUSED_HTILE", "0") == "1"
 
     def fusable(name, cin, cout, stride, shape):
         if not (stride == 1 and cin == cout
@@ -105,7 +112,7 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
         if fused_block_supported(shape, model.shift_max_shift, dtype):
             return True
         # Too big for a whole clip in VMEM: H-tiling works when SE is off.
-        return not use_se and pick_htile(
+        return use_htile and not use_se and pick_htile(
             shape, 1, model.shift_max_shift, dtype
         ) is not None
 
