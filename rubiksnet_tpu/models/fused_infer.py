@@ -59,13 +59,10 @@ def _block_plan(model: RubiksNet):
 
 def _apply_unfused_block(model, name, in_planes, out_planes, stride, use_se,
                          params, stats, x):
-    # Blocks the fused kernel cannot take still route their shift op through
-    # the one-pass Pallas kernel where it fits (e.g. stage1's 56x56 stride-1
-    # shifts); the op itself falls back to the select formulation otherwise.
-    shift_backend = (
-        "pallas" if model.shift_backend in ("conv", "pallas", "select")
-        else model.shift_backend
-    )
+    # Fallback blocks keep the model's configured shift backend: the early
+    # stages run at C=72, where the one-pass Pallas kernel wastes 44% of the
+    # vector lanes and measured slower than the XLA conv formulation.
+    shift_backend = model.shift_backend
     block = RubiksShiftBlock(
         in_planes=in_planes,
         out_planes=out_planes,
