@@ -81,30 +81,36 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _geometry(t, h, w, c, max_shift, dtype):
+def _geometry(t, h, w, c, max_shift, dtype, sdtype=None):
     k = max_shift
     sub = _sub(dtype)
     wp = _round_up(w, sub)
     tp = t + 2 * k + 1
     hp = h + 2 * k + 1
     # The W-tap stage slices [j : j + wp] for j in [0, 2k+2), so the halo
-    # width must cover wp + 2k + 1 (the tail is zero, never written).
-    wph = _round_up(wp + 2 * k + 1, sub)
+    # width must cover wp + 2k + 1 (the tail is zero, never written). The
+    # halo buffer lives in the scratch dtype, whose sublane tile sets the
+    # rounding (f32 scratch: 8 -> narrower halo than bf16's 16).
+    wph = _round_up(wp + 2 * k + 1, _sub(sdtype if sdtype is not None
+                                         else dtype))
     return k, sub, wp, tp, hp, wph
 
 
-def _group_vmem_bytes(shape, max_shift, dtype, group: int) -> int:
+def _group_vmem_bytes(shape, max_shift, dtype, group: int,
+                      _scratch_f32: bool = False) -> int:
     """Estimated VMEM need for `group` clips per grid step, using Mosaic's
     padded layouts: lanes (channels) padded to 128, sublanes (W) to the
     dtype tile, for scratch and pipeline buffers alike."""
     n, t, h, w, c = shape
-    k, sub, wp, tp, hp, wph = _geometry(t, h, w, c, max_shift, dtype)
+    sdtype = jnp.float32 if _scratch_f32 else dtype
+    k, sub, wp, tp, hp, wph = _geometry(t, h, w, c, max_shift, dtype, sdtype)
     itemsize = jnp.dtype(dtype).itemsize
+    sitem = jnp.dtype(sdtype).itemsize
     cp = _round_up(c, 128)
     g = group
     acc = g * t * h * wp * cp * itemsize
-    cbuf = g * tp * hp * wph * cp * itemsize
-    wbuf = g * tp * hp * wp * cp * itemsize
+    cbuf = g * tp * hp * wph * cp * sitem
+    wbuf = g * tp * hp * wp * cp * sitem
     # conservative: include the AQ activation buffer even for non-AQ runs
     abuf = g * (t + 2) * h * wp * cp * itemsize
     io_blocks = 2 * 2 * g * t * h * wp * cp * itemsize  # double-buffered io
@@ -135,6 +141,17 @@ def pick_group(shape, max_shift, dtype) -> int:
         if n % g == 0 and _group_vmem_bytes(shape, max_shift, dtype, g) <= _VMEM_BUDGET:
             return g
     return 0
+
+
+def pick_scratch_dtype(shape, max_shift, dtype, group):
+    """Use f32 tap scratch when it fits: removes every bf16<->f32 conversion
+    in the tap stages and narrows the halo width (f32 sublane tile is 8)."""
+    if jnp.dtype(dtype).itemsize >= 4:
+        return dtype
+    if _group_vmem_bytes(shape, max_shift, dtype, group,
+                         _scratch_f32=True) <= _VMEM_BUDGET:
+        return jnp.float32
+    return dtype
 
 
 def fused_block_supported(shape, max_shift, dtype) -> bool:
@@ -257,7 +274,7 @@ def _kernel(
                     )
                 bm = jnp.dot(a.reshape(h_len * wp, c), w2,
                              preferred_element_type=f32)
-                cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
+                cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
                 cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
                      k : k + w_len, :] = cm.reshape(h_len, wp, c)[:, :w_len, :]
         else:
@@ -266,7 +283,7 @@ def _kernel(
                 a = aq_mix(a, abase)
             bm = jnp.dot(a.reshape(th * wp, c), w2,
                          preferred_element_type=f32)
-            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(acc.dtype)
+            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
             c3 = cm.reshape(th, wp, c)
             for t in range(t_len):
                 cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
@@ -283,7 +300,7 @@ def _kernel(
                     cc[:, j : j + wp, :]
                 )
                 wv = term if wv is None else wv + term
-            wbuf[pl.ds(cbase + tt * hp, hp)] = wv.astype(acc.dtype)
+            wbuf[pl.ds(cbase + tt * hp, hp)] = wv.astype(wbuf.dtype)
 
         # Pass 2: T taps as row shifts by j*hp (the (t', h) row layout makes
         # "frame t+j" a pure row offset), H taps as row shifts by j, then the
@@ -381,14 +398,16 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
     """
     n, t_len, h_len, w_len, c = x.shape
     nb = vt.shape[0]
+    g_pre = group if group is not None else pick_group(x.shape, max_shift,
+                                                       x.dtype)
+    sdtype = pick_scratch_dtype(x.shape, max_shift, x.dtype, max(g_pre, 1))
     k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift,
-                                        x.dtype)
+                                        x.dtype, sdtype)
     taps_n = 2 * k + 2
     vt_rows = 4 + 3 * taps_n + (3 if aq else 0)
     assert vt.shape == (nb, vt_rows, c), (vt.shape, vt_rows)
     assert wm.shape == (nb, 2, c, c), wm.shape
-    g_len = group if group is not None else pick_group(x.shape, max_shift,
-                                                       x.dtype)
+    g_len = g_pre
     assert g_len >= 1 and n % g_len == 0, (n, g_len)
     th = t_len * h_len
 
@@ -426,8 +445,8 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         out_shape=jax.ShapeDtypeStruct((n * th, w_len, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((g_len * th, wp, c), x.dtype),       # accumulator
-            pltpu.VMEM((g_len * tp * hp, wph, c), x.dtype),  # halo buffer
-            pltpu.VMEM((g_len * tp * hp, wp, c), x.dtype),   # W-shifted
+            pltpu.VMEM((g_len * tp * hp, wph, c), sdtype),   # halo buffer
+            pltpu.VMEM((g_len * tp * hp, wp, c), sdtype),    # W-shifted
             # AQ: activated frames with one zero boundary frame per side
             pltpu.VMEM(
                 (g_len * (t_len + 2) * h_len, wp, c) if aq else (8, 8, 128),
@@ -436,8 +455,9 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                max(int(_group_vmem_bytes(x.shape, max_shift, x.dtype,
-                                          g_len) * 1.3),
+                max(int(_group_vmem_bytes(
+                        x.shape, max_shift, x.dtype, g_len,
+                        _scratch_f32=sdtype == jnp.float32) * 1.3),
                     32 * 1024 * 1024),
                 _VMEM_LIMIT_CAP,
             ),

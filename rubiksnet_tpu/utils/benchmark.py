@@ -57,7 +57,7 @@ def time_chained(
     n_lo: int = 2,
     n_hi: int = 32,
     repeats: int = 3,
-    max_n_hi: int = 1024,
+    max_n_hi: int = 128,
 ) -> float:
     """Seconds per fn() application, measured on device.
 
@@ -65,9 +65,10 @@ def time_chained(
     (0 * first-output-leaf-sum) to the carried input.
 
     If the (n_hi - n_lo)-iteration delta does not clear the tunnel's
-    fetch-latency jitter (which has been observed at ~1 s), n_hi doubles —
-    up to max_n_hi — before giving up. Fast functions therefore measure
-    correctly at the cost of extra device iterations.
+    fetch-latency jitter (observed at ~1 s), n_hi jumps 4x — once, up to
+    max_n_hi — before giving up. Each retry compiles a longer chained loop
+    (minutes for the big models), so the ladder is deliberately short;
+    fast functions get their longer chains, slow ones fail fast.
     """
 
     def chained(n):
@@ -89,7 +90,7 @@ def time_chained(
             err = e
             if n_hi >= max_n_hi:
                 raise
-            n_hi *= 2
+            n_hi = min(n_hi * 4, max_n_hi)
 
 
 def time_chained_carry(
@@ -98,7 +99,7 @@ def time_chained_carry(
     n_lo: int = 2,
     n_hi: int = 16,
     repeats: int = 3,
-    max_n_hi: int = 256,
+    max_n_hi: int = 64,
 ) -> float:
     """Seconds per fn() application for a self-chaining step.
 
@@ -119,4 +120,4 @@ def time_chained_carry(
         except RuntimeError:
             if n_hi >= max_n_hi:
                 raise
-            n_hi *= 2
+            n_hi = min(n_hi * 4, max_n_hi)
