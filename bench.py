@@ -68,7 +68,8 @@ def main():
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--backend", default="fused",
-                   choices=["fused", "pallas", "conv", "select", "gather"],
+                   choices=["fused", "auto", "pallas", "conv", "select",
+                            "gather"],
                    help="'fused' = multi-block Pallas inference executor "
                         "(ineligible blocks fall back to the conv backend); "
                         "train mode always uses an unfused backend")
@@ -111,7 +112,7 @@ def main():
     # Random-init shifts are U(-1, 1) (layer init; checkpoints autosize this
     # bound at load time), so the static integer-shift bound is exactly 1:
     # floor(shift) is in {-1, 0} and the tap window [-K, K+1] covers it.
-    shift_backend = "conv" if args.backend == "fused" else args.backend
+    shift_backend = "auto" if args.backend == "fused" else args.backend
     bundle = create_rubiksnet(
         args.tier, num_classes=174, num_frames=args.frames, input_size=64,
         dtype=dtype, shift_backend=shift_backend, shift_max_shift=1,
@@ -210,6 +211,10 @@ def main():
                 "detail": {
                     "batch_sweep": {str(k): round(v, 2) for k, v in results.items()},
                     "best_batch": best_bs,
+                    "median_over_batches": (
+                        round(float(np.median(list(results.values()))), 2)
+                        if results else 0.0
+                    ),
                     "utilization": {str(k): v for k, v in util.items() if v},
                     "device": str(jax.devices()[0]),
                 },
@@ -237,27 +242,38 @@ def supervise(args):
         "--backend", args.backend, "--iters", str(args.iters),
         "--warmup", str(args.warmup), "--mode", args.mode,
     ]
-    for bs in args.batch_sizes:
+
+    def run_child(bs, attempt):
         cmd = base_cmd + ["--batch-sizes", str(bs)]
+        if args.trace:
+            cmd += ["--trace", os.path.join(args.trace, f"bs{bs}")]
         try:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True,
                 timeout=args.per_batch_timeout,
             )
         except subprocess.TimeoutExpired:
-            print(f"warning: bs={bs}: timed out after "
-                  f"{args.per_batch_timeout}s (wedged compile?); skipped",
+            print(f"warning: bs={bs} (attempt {attempt}): timed out after "
+                  f"{args.per_batch_timeout}s (wedged compile?)",
                   file=sys.stderr, flush=True)
-            continue
+            return None
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines())
              if ln.startswith("{")), None)
         if proc.returncode != 0 or line is None:
-            print(f"warning: bs={bs}: child failed "
+            print(f"warning: bs={bs} (attempt {attempt}): child failed "
                   f"(rc={proc.returncode}): {proc.stderr[-400:]}",
                   file=sys.stderr, flush=True)
+            return None
+        return json.loads(line)
+
+    for bs in args.batch_sizes:
+        # One retry per batch size: the persistent compile cache (see
+        # utils/platform.py) makes the retry a warm start, so a first-compile
+        # timeout no longer permanently loses the data point.
+        out = run_child(bs, 1) or run_child(bs, 2)
+        if out is None:
             continue
-        out = json.loads(line)
         metric = out["metric"]
         vs = out["vs_baseline"]
         device = out["detail"].get("device")
@@ -284,9 +300,19 @@ def supervise(args):
             pass
 
     best_bs, best = None, 0.0
+    suspect = []
     for k, v in merged_results.items():
+        # Sanity gate: a capture implying >100% of HBM bandwidth is a timing
+        # artifact of the unstable tunnel, not a real throughput — it must
+        # not become the headline (ADVICE r2: the persisted 1105 clips/s
+        # capture recorded hbm_util 1.16).
+        if merged_util.get(k, {}).get("hbm_util", 0.0) > 1.0:
+            suspect.append(k)
+            continue
         if v > best:
             best, best_bs = v, k
+    clean = [v for k, v in merged_results.items() if k not in suspect]
+    median = float(np.median(clean)) if clean else 0.0
     result = {
         "metric": metric or f"clips/sec/chip RubiksNet-"
                             f"{args.tier.capitalize()} (no batch completed)",
@@ -297,26 +323,20 @@ def supervise(args):
         "detail": {
             "batch_sweep": merged_results,
             "best_batch": int(best_bs) if best_bs is not None else None,
+            "median_over_batches": round(median, 2),
+            "suspect_batches": suspect,
             "utilization": merged_util,
             "device": device,
         },
     }
-    # Persist only real flagship TPU captures as the stale-fallback source,
-    # keeping the best capture seen (the chip's delivered performance
-    # oscillates ~4x between sessions; see docs/PERF_NOTES.md).
-    if (merged_results and args.mode != "train" and args.tier == "large"
+    # Persist the most recent sanity-passing flagship TPU capture as the
+    # stale-fallback source (NOT a best-ever ratchet: on a runtime with 4x
+    # session variance a ratchet keeps an outlier as the headline forever).
+    if (best_bs is not None and args.mode != "train" and args.tier == "large"
             and device and "TPU" in str(device)):
         try:
-            prev = None
-            try:
-                with open(last_good) as f:
-                    prev = json.load(f)
-            except OSError:
-                pass
-            if (prev is None or prev.get("metric") != result["metric"]
-                    or prev.get("value", 0) < result["value"]):
-                with open(last_good, "w") as f:
-                    json.dump(result, f)
+            with open(last_good, "w") as f:
+                json.dump(result, f)
         except OSError:
             pass
     print(json.dumps(result))

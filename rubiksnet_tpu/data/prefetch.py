@@ -71,6 +71,17 @@ class PrefetchIterator(Iterator[T]):
 
     def close(self):
         self._stop.set()
+        # The producer's finally-block skips the sentinel once stop is set;
+        # enqueue one here so a blocked __next__ (or a later call, after the
+        # buffered items drain) terminates instead of waiting forever.
+        try:
+            self._q.put_nowait(_SENTINEL)
+        except queue.Full:
+            try:
+                self._q.get_nowait()  # drop one buffered item to make room
+                self._q.put_nowait(_SENTINEL)
+            except (queue.Empty, queue.Full):
+                pass
 
     def __del__(self):
         self.close()

@@ -69,6 +69,7 @@ def _apply_unfused_block(model, name, in_planes, out_planes, stride, use_se,
         stride=stride,
         use_se=use_se,
         variant=model.variant,
+        quantize=model.quantize,
         shift_backend=shift_backend,
         shift_max_shift=model.shift_max_shift,
         dtype=model.dtype,
@@ -106,6 +107,12 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
         if not (stride == 1 and cin == cout
                 and model.variant in ("rubiks3d", "rubiks3d-aq")):
             return False
+        if aq and model.quantize:
+            # The AQ spatial shift is 2D; its quantize mode rounds
+            # half-away-from-zero (cuda_src/rubiks2d_kernels.cu:77-82), which
+            # is not translation invariant and so has no tap-weight
+            # representation — run those blocks unfused.
+            return False
         if fused_block_supported(shape, model.shift_max_shift, dtype):
             return True
         # Too big for a whole clip in VMEM: H-tiling works when SE is off.
@@ -123,12 +130,19 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 run.append(plan[j])
                 j += 1
             run_names = [r[0] for r in run]
-            stack = stack_block_params_aq if aq else stack_block_params
-            vt, wm = stack(
-                [params[nm] for nm in run_names],
-                [stats[nm] for nm in run_names],
-                dtype, model.shift_max_shift,
-            )
+            if aq:
+                vt, wm = stack_block_params_aq(
+                    [params[nm] for nm in run_names],
+                    [stats[nm] for nm in run_names],
+                    dtype, model.shift_max_shift,
+                )
+            else:
+                vt, wm = stack_block_params(
+                    [params[nm] for nm in run_names],
+                    [stats[nm] for nm in run_names],
+                    dtype, model.shift_max_shift,
+                    quantize=model.quantize,
+                )
             se = (
                 stack_se_params([params[nm] for nm in run_names])
                 if use_se else None
@@ -146,11 +160,17 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                     # Halo would dominate a long chain: split the run into
                     # single blocks, each tiled independently.
                     for nm in run_names:
-                        vt1, wm1 = (stack_block_params_aq if aq else
-                                    stack_block_params)(
-                            [params[nm]], [stats[nm]], dtype,
-                            model.shift_max_shift,
-                        )
+                        if aq:
+                            vt1, wm1 = stack_block_params_aq(
+                                [params[nm]], [stats[nm]], dtype,
+                                model.shift_max_shift,
+                            )
+                        else:
+                            vt1, wm1 = stack_block_params(
+                                [params[nm]], [stats[nm]], dtype,
+                                model.shift_max_shift,
+                                quantize=model.quantize,
+                            )
                         x = fused_block_run_htiled(
                             x, vt1, wm1, None, aq=aq,
                             max_shift=model.shift_max_shift,

@@ -43,6 +43,7 @@ class RubiksNet(nn.Module):
     num_classes: int
     num_frames: int = 8
     variant: str = "rubiks3d"
+    quantize: bool = False
     shift_backend: str = "gather"
     shift_max_shift: int = 4
     remat: bool = False
@@ -58,6 +59,7 @@ class RubiksNet(nn.Module):
             num_classes=None,
             use_se=use_se,
             variant=self.variant,
+            quantize=self.quantize,
             shift_backend=self.shift_backend,
             shift_max_shift=self.shift_max_shift,
             remat=self.remat,
@@ -124,6 +126,7 @@ class RubiksNetBundle:
             num_classes=num_classes,
             num_frames=self.model.num_frames,
             variant=self.model.variant,
+            quantize=self.model.quantize,
             shift_backend=self.model.shift_backend,
             shift_max_shift=self.model.shift_max_shift,
             dtype=self.model.dtype,
@@ -150,6 +153,7 @@ def create_rubiksnet(
     rng: Optional[jax.Array] = None,
     dtype: Any = jnp.float32,
     input_size: int = INPUT_SIZE,
+    quantize: bool = False,
     shift_backend: str = "gather",
     shift_max_shift: int = 4,
     remat: bool = False,
@@ -162,6 +166,7 @@ def create_rubiksnet(
         num_classes=num_classes,
         num_frames=num_frames,
         variant=variant,
+        quantize=quantize,
         shift_backend=shift_backend,
         shift_max_shift=shift_max_shift,
         remat=remat,

@@ -10,14 +10,6 @@ from .layers import (
     create_3d_from_2d,
 )
 from .backbone import RubiksNetBackbone, RubiksShiftBlock
-from .pooling import (
-    SelectAdaptivePool2d,
-    adaptive_avg_pool2d,
-    adaptive_avgmax_pool2d,
-    adaptive_catavgmax_pool2d,
-    adaptive_max_pool2d,
-    select_adaptive_pool2d,
-)
 
 __all__ = [
     "AttentionShift",
@@ -31,10 +23,4 @@ __all__ = [
     "uniform_shift_init",
     "init_shift1d_nfold",
     "create_3d_from_2d",
-    "SelectAdaptivePool2d",
-    "adaptive_avg_pool2d",
-    "adaptive_avgmax_pool2d",
-    "adaptive_catavgmax_pool2d",
-    "adaptive_max_pool2d",
-    "select_adaptive_pool2d",
 ]

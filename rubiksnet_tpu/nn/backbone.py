@@ -74,6 +74,7 @@ class RubiksShiftBlock(nn.Module):
         if self.variant == "rubiks3d":
             self.as3 = Rubiks3DWrap(
                 mid, stride=self.stride, name="as3",
+                quantize=self.quantize,
                 backend=self.shift_backend, max_shift=self.shift_max_shift,
             )
         elif self.variant == "rubiks3d-aq":

@@ -209,6 +209,7 @@ class Rubiks3DWrap(nn.Module):
     num_channels: int
     stride: IntPair = 1
     padding: IntPair = 0
+    quantize: bool = False
     backend: str = "gather"
     max_shift: int = 4
 
@@ -217,6 +218,7 @@ class Rubiks3DWrap(nn.Module):
         ph, pw = _pair(self.padding)
         self.rubiks3d = RubiksShift3D(
             self.num_channels, stride=(1, sh, sw), padding=(0, ph, pw),
+            quantize=self.quantize,
             backend=self.backend, max_shift=self.max_shift,
         )
 

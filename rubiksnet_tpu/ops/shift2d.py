@@ -74,6 +74,15 @@ def rubiks_shift_2d_forward(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     shift = shift.astype(x.dtype)
+    if backend == "auto":
+        from .auto_backend import choose_forward_backend
+
+        # 2D = 3D with T=1 and an identity temporal row; quantize keeps the
+        # gather path (half-away rounding has no tap representation).
+        backend = "gather" if quantize else choose_forward_backend(
+            (x.shape[0], 1) + x.shape[1:], (1, sh, sw), (0, ph, pw),
+            quantize, max_shift, x.dtype,
+        )
     if backend == "pallas" and not quantize:
         # The 2D shift is the 3D one-pass kernel with T=1 and an identity
         # temporal row.
@@ -110,6 +119,13 @@ def rubiks_shift_2d_input_grad(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     shift = shift.astype(og.dtype)
+    if backend == "auto":
+        from .auto_backend import choose_input_grad_backend
+
+        backend = "gather" if quantize else choose_input_grad_backend(
+            (og.shape[0], 1) + og.shape[1:], (in_shape[0], 1) + tuple(in_shape)[1:],
+            (1, sh, sw), (0, ph, pw), quantize, max_shift, og.dtype,
+        )
     if backend == "pallas" and not quantize:
         from .pallas.shift_kernel import (
             rubiks_shift3d_pallas, shift3d_pallas_supported,
@@ -208,6 +224,8 @@ def rubiks_shift_2d_shift_grad(
     ph, pw = _pair(padding)
     shift = shift.astype(x.dtype)
     ho, wo = og.shape[_H_AX], og.shape[_W_AX]
+    if backend == "auto":
+        backend = "select"
 
     def remainder(s):
         r = (s - jnp.floor(s)).astype(x.dtype)

@@ -92,9 +92,10 @@ def rubiks_shift_3d_forward(
       stride/padding: ints or 3-tuples (T, H, W).
       quantize: round shifts to integers (remainder < 0.5 rounds down,
         cuda_src/rubiks3d_kernels.cu:76-79) and skip interpolation.
-      backend: 'gather' (exact for any shift magnitude) or 'conv' (depthwise
+      backend: 'gather' (exact for any shift magnitude), 'conv' (depthwise
         convolution with a static |floor(shift)| <= max_shift bound — the
-        fast TPU path, see conv_backend.py).
+        fast TPU path, see conv_backend.py), 'select', 'pallas', or 'auto'
+        (per-shape fastest bounded path, see auto_backend.py).
       max_shift: static integer-shift bound for the conv backend.
     """
     assert x.ndim == 5, "x must be (N, T, H, W, C)"
@@ -103,6 +104,12 @@ def rubiks_shift_3d_forward(
     )
     st, sh, sw = _triple(stride)
     pt, ph, pw = _triple(padding)
+    if backend == "auto":
+        from .auto_backend import choose_forward_backend
+
+        backend = choose_forward_backend(
+            x.shape, (st, sh, sw), (pt, ph, pw), quantize, max_shift, x.dtype
+        )
     shift = shift.astype(x.dtype)
     # Trilinear interpolation with zero OOB fill is separable: apply the
     # per-channel 1D fractional shift along T, then H, then W.
@@ -149,6 +156,13 @@ def rubiks_shift_3d_input_grad(
     st, sh, sw = _triple(stride)
     pt, ph, pw = _triple(padding)
     shift = shift.astype(og.dtype)
+    if backend == "auto":
+        from .auto_backend import choose_input_grad_backend
+
+        backend = choose_input_grad_backend(
+            og.shape, in_shape, (st, sh, sw), (pt, ph, pw), quantize,
+            max_shift, og.dtype,
+        )
     if backend == "pallas":
         from .pallas.shift_kernel import (
             rubiks_shift3d_pallas, shift3d_pallas_supported,
@@ -218,6 +232,10 @@ def rubiks_shift_3d_shift_grad(
     shift = shift.astype(x.dtype)
     to, ho, wo = og.shape[_T_AX], og.shape[_H_AX], og.shape[_W_AX]
 
+    if backend == "auto":
+        from .auto_backend import choose_shift_grad_backend
+
+        backend = choose_shift_grad_backend(x.shape, x.dtype)
     if backend == "gather":
         taps = lambda y, sc, ax, sstride, spad, dout: core.corrected_taps(
             y, sc, ax, sstride, spad, dout

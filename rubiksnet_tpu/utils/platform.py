@@ -24,7 +24,14 @@ def select_platform(compilation_cache: bool = None):
         jax.config.update("jax_platforms", plat)
     env = os.environ.get("RUBIKS_COMPILE_CACHE")
     if compilation_cache is None:
-        compilation_cache = plat != "cpu" and env != "0"
+        # Decide from the *resolved* backend, not the env var: with
+        # RUBIKS_PLATFORM unset on a CPU-only host the cache must stay off
+        # (cached CPU AOT artifacts can SIGILL when compiled remotely).
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "cpu"
+        compilation_cache = backend == "tpu" and env != "0"
     if compilation_cache or (env and env != "0"):
         cache_dir = (
             env if env and env not in ("0", "1")

@@ -59,6 +59,48 @@ def test_fused_infer_matches_model_aq():
     )
 
 
+def test_fused_infer_matches_model_quantize():
+    """quantize=True must flow through the fused executor's tap weights
+    (one-hot kernels); a silently non-quantized fused path would diverge from
+    the regular apply here."""
+    bundle = create_rubiksnet(
+        "tiny", num_classes=6, num_frames=3, input_size=32, quantize=True,
+        shift_backend="conv", shift_max_shift=2,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(3), (2, 3, 32, 32, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    # Quantized vs interpolated shifts genuinely differ; guard the guard.
+    plain = create_rubiksnet(
+        "tiny", num_classes=6, num_frames=3, input_size=32, quantize=False,
+        shift_backend="conv", shift_max_shift=2,
+    )
+    not_quantized = plain.model.apply(bundle.variables, video, train=False)
+    assert float(jnp.max(jnp.abs(want - not_quantized))) > 1e-3
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_fused_infer_aq_quantize_falls_back():
+    """AQ + quantize has no tap representation (2D half-away rounding); the
+    executor must fall back to the unfused path and still be correct."""
+    bundle = create_rubiksnet(
+        "tiny", num_classes=4, num_frames=2, input_size=16, quantize=True,
+        variant="rubiks3d-aq", shift_backend="gather", shift_max_shift=2,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(4), (1, 2, 16, 16, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_fused_eval_step_on_mesh():
     """Fused eval step composes with the sharded batch path (8-device CPU
     mesh; on real multi-chip hardware the kernel partitions over the batch

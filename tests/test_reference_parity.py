@@ -101,7 +101,7 @@ def test_our_weights_into_reference(tier, variant):
           export_torch_state_dict(bundle).items()}
 
     net = _reference_net(tier, variant, seed=3)
-    missing, unexpected = net.load_state_dict(sd, strict=True), None
+    net.load_state_dict(sd, strict=True)  # raises on any key/shape mismatch
     video = np.random.RandomState(2).randn(N, T, 3, SIZE, SIZE).astype(np.float32)
     ref = _reference_logits(net, video)
     got = _our_logits(bundle, video)
