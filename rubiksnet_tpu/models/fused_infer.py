@@ -113,11 +113,11 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
             # is not translation invariant and so has no tap-weight
             # representation — run those blocks unfused.
             return False
-        if fused_block_supported(shape, model.shift_max_shift, dtype):
+        if fused_block_supported(shape, model.shift_max_shift, dtype, aq=aq):
             return True
         # Too big for a whole clip in VMEM: H-tiling works when SE is off.
         return use_htile and not use_se and pick_htile(
-            shape, 1, model.shift_max_shift, dtype
+            shape, 1, model.shift_max_shift, dtype, aq=aq
         ) is not None
 
     i = 0
@@ -148,13 +148,15 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                 if use_se else None
             )
             x = x.astype(dtype)
-            if fused_block_supported(x.shape, model.shift_max_shift, dtype):
+            if fused_block_supported(x.shape, model.shift_max_shift, dtype,
+                                     aq=aq):
                 x = fused_block_run(
                     x, vt, wm, se, aq=aq, max_shift=model.shift_max_shift,
                 )
             else:
                 tile_h = pick_htile(
-                    x.shape, len(run_names), model.shift_max_shift, dtype
+                    x.shape, len(run_names), model.shift_max_shift, dtype,
+                    aq=aq,
                 )
                 if tile_h is None:
                     # Halo would dominate a long chain: split the run into
@@ -175,7 +177,8 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                             x, vt1, wm1, None, aq=aq,
                             max_shift=model.shift_max_shift,
                             tile_h=pick_htile(x.shape, 1,
-                                              model.shift_max_shift, dtype),
+                                              model.shift_max_shift, dtype,
+                                              aq=aq),
                         )
                 else:
                     x = fused_block_run_htiled(

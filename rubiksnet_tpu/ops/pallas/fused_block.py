@@ -49,6 +49,7 @@ stack_block_params.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -97,7 +98,7 @@ def _geometry(t, h, w, c, max_shift, dtype, sdtype=None):
 
 
 def _group_vmem_bytes(shape, max_shift, dtype, group: int,
-                      _scratch_f32: bool = False) -> int:
+                      _scratch_f32: bool = False, aq: bool = False) -> int:
     """Estimated VMEM need for `group` clips per grid step, using Mosaic's
     padded layouts: lanes (channels) padded to 128, sublanes (W) to the
     dtype tile, for scratch and pipeline buffers alike."""
@@ -111,8 +112,7 @@ def _group_vmem_bytes(shape, max_shift, dtype, group: int,
     acc = g * t * h * wp * cp * itemsize
     cbuf = g * tp * hp * wph * cp * sitem
     wbuf = g * tp * hp * wp * cp * sitem
-    # conservative: include the AQ activation buffer even for non-AQ runs
-    abuf = g * (t + 2) * h * wp * cp * itemsize
+    abuf = g * (t + 2) * h * wp * cp * itemsize if aq else 0
     io_blocks = 2 * 2 * g * t * h * wp * cp * itemsize  # double-buffered io
     weight_blocks = 2 * 2 * cp * cp * itemsize
     if h * wp >= _PER_FRAME_ROWS:
@@ -126,38 +126,44 @@ def _group_vmem_bytes(shape, max_shift, dtype, group: int,
     return acc + cbuf + wbuf + abuf + io_blocks + weight_blocks + temps
 
 
-def fused_block_vmem_bytes(shape, max_shift, dtype) -> int:
-    return _group_vmem_bytes(shape, max_shift, dtype, 1)
+def fused_block_vmem_bytes(shape, max_shift, dtype, aq=False) -> int:
+    return _group_vmem_bytes(shape, max_shift, dtype, 1, aq=aq)
 
 
-def pick_group(shape, max_shift, dtype) -> int:
-    """Group size (divisor of N, <= 2) whose buffers fit VMEM.
+def pick_group(shape, max_shift, dtype, aq=False) -> int:
+    """Largest group size (divisor of N, <= RUBIKS_FUSED_GROUP, default 8)
+    whose buffers fit VMEM.
 
-    Grouping two clips per grid step amortizes the fixed per-step cost;
-    larger groups measured no better on v5e (and eat into the VMEM that the
-    pipeline uses for prefetch depth)."""
+    Grouping clips per grid step amortizes the fixed per-step cost (weight
+    (re)fetch + pipeline bubbles): small-frame stages run thousands of tiny
+    steps otherwise (e.g. Large stage3 = 35 blocks x N/g groups). The clip
+    loop is a fori_loop, so group size does not grow the compiled kernel."""
     n = shape[0]
-    for g in (2, 1):
-        if n % g == 0 and _group_vmem_bytes(shape, max_shift, dtype, g) <= _VMEM_BUDGET:
+    gmax = int(os.environ.get("RUBIKS_FUSED_GROUP", "8"))
+    g = 1 << min(gmax, n).bit_length() - 1  # largest power of two <= min
+    while g >= 1:
+        if n % g == 0 and _group_vmem_bytes(shape, max_shift, dtype, g,
+                                            aq=aq) <= _VMEM_BUDGET:
             return g
+        g //= 2
     return 0
 
 
-def pick_scratch_dtype(shape, max_shift, dtype, group):
+def pick_scratch_dtype(shape, max_shift, dtype, group, aq=False):
     """Use f32 tap scratch when it fits: removes every bf16<->f32 conversion
     in the tap stages and narrows the halo width (f32 sublane tile is 8)."""
     if jnp.dtype(dtype).itemsize >= 4:
         return dtype
     if _group_vmem_bytes(shape, max_shift, dtype, group,
-                         _scratch_f32=True) <= _VMEM_BUDGET:
+                         _scratch_f32=True, aq=aq) <= _VMEM_BUDGET:
         return jnp.float32
     return dtype
 
 
-def fused_block_supported(shape, max_shift, dtype) -> bool:
+def fused_block_supported(shape, max_shift, dtype, aq=False) -> bool:
     if jnp.dtype(dtype).itemsize not in (2, 4):
         return False
-    return pick_group(shape, max_shift, dtype) >= 1
+    return pick_group(shape, max_shift, dtype, aq=aq) >= 1
 
 
 def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, abuf,
@@ -169,7 +175,7 @@ def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, abuf,
 def _kernel(
     x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, wbuf, abuf,
     *, g_len, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
-    aq=False,
+    aq=False, mxu_taps=False,
 ):
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -201,6 +207,7 @@ def _kernel(
     bn2_b = vt_ref[0, 3, :].reshape(1, c)
     w2 = wm_ref[0, 0]
     w3 = wm_ref[0, 1]
+    w3f = w3.astype(f32) if mxu_taps else None
     fhp = tp * hp  # halo rows per clip
 
     # Clips iterate via fori_loop (dynamic row bases) so the compiled kernel
@@ -329,6 +336,40 @@ def _kernel(
                             preferred_element_type=f32)
                 rows = pl.ds(base + t * h_len, h_len)
                 acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(acc.dtype)
+        elif mxu_taps and se_ref is None:
+            # MXU tap folding: the T/H tap stages are per-channel scalings of
+            # row-shifted slabs, and conv3 is the next op — so
+            #   e = conv3(Σ_{l,j} twT_l twH_j * wbuf[rows + l*hp + j])
+            #     = Σ_{l,j} wbuf[rows + l*hp + j] @ (diag(twT_l ⊙ twH_j) W3).
+            # That moves 2/3 of the tap multiply-adds from the VPU (the
+            # measured bottleneck at large frames) onto the idle MXU, at the
+            # cost of (2K+2)^2 scaled conv3 matmuls accumulated in f32. The
+            # scaled weights are built in-kernel (tiny VPU cost) so HBM
+            # weight traffic stays two matrices per block. AQ's temporal
+            # taps are identity, so only the H axis folds there (2K+2
+            # matmuls from the k*hp base).
+            e_acc = None
+            pairs = (
+                [(k, j) for j in range(taps_n)] if aq else
+                [(l, j) for l in range(taps_n) for j in range(taps_n)]
+            )
+            for l, j in pairs:
+                if aq:
+                    scale = vt_ref[0, 4 + taps_n + j, :].reshape(c, 1)
+                else:
+                    scale = (vt_ref[0, 4 + l, :]
+                             * vt_ref[0, 4 + taps_n + j, :]).reshape(c, 1)
+                w3s = (w3f * scale).astype(acc.dtype)
+                u_lj = wbuf[pl.ds(cbase + l * hp + j, v_len)].astype(
+                    acc.dtype
+                )
+                term = jnp.dot(u_lj.reshape(v_len * wp, c), w3s,
+                               preferred_element_type=f32)
+                e_acc = term if e_acc is None else e_acc + term
+            e3 = e_acc.reshape(v_len, wp, c).astype(acc.dtype)
+            for t in range(t_len):
+                rows = pl.ds(base + t * h_len, h_len)
+                acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
         else:
             # Whole-clip big ops: the few inter-frame garbage rows (hp vs h)
             # ride through the matmul and are dropped at extraction.
@@ -379,7 +420,7 @@ def _kernel(
 
 
 def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
-                    interpret=None):
+                    mxu_taps=None, interpret=None):
     """Apply a chain of B fused blocks to a clip batch.
 
     Args:
@@ -393,14 +434,18 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         given, every block applies the SE gate between shift and conv3.
       max_shift: static K bound on the integer part of the shifts.
       group: clips per grid step (default: auto via pick_group).
+      mxu_taps: fold the T/H tap stages into (2K+2)^2 scaled conv3 matmuls
+        on the MXU instead of VPU multiply-adds (default: on whenever SE is
+        off; RUBIKS_FUSED_MXU_TAPS=0 disables for A/B).
 
     Returns (N, T, H, W, C), equal to applying the B blocks sequentially.
     """
     n, t_len, h_len, w_len, c = x.shape
     nb = vt.shape[0]
     g_pre = group if group is not None else pick_group(x.shape, max_shift,
-                                                       x.dtype)
-    sdtype = pick_scratch_dtype(x.shape, max_shift, x.dtype, max(g_pre, 1))
+                                                       x.dtype, aq=aq)
+    sdtype = pick_scratch_dtype(x.shape, max_shift, x.dtype, max(g_pre, 1),
+                                aq=aq)
     k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift,
                                         x.dtype, sdtype)
     taps_n = 2 * k + 2
@@ -411,14 +456,21 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
     assert g_len >= 1 and n % g_len == 0, (n, g_len)
     th = t_len * h_len
 
+    if mxu_taps is None:
+        mxu_taps = (se is None
+                    and os.environ.get("RUBIKS_FUSED_MXU_TAPS", "1") == "1")
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
         g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
         wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype, aq=aq,
+        mxu_taps=mxu_taps and se is None,
     )
+    n_matmuls = (1 + (taps_n if aq else taps_n ** 2)) if mxu_taps else 2
+    n_vpu_tap_stages = 1 if mxu_taps else 3
     flops_per_step = g_len * (
-        2 * 2 * th * wp * c * c + 3 * taps_n * 2 * th * wph * c
+        n_matmuls * 2 * th * wp * c * c
+        + n_vpu_tap_stages * taps_n * 2 * th * wph * c
     )
     in_specs = [
         pl.BlockSpec((g_len * th, w_len, c), lambda i, b: (i, 0, 0),
@@ -457,7 +509,7 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
             vmem_limit_bytes=min(
                 max(int(_group_vmem_bytes(
                         x.shape, max_shift, x.dtype, g_len,
-                        _scratch_f32=sdtype == jnp.float32) * 1.3),
+                        _scratch_f32=sdtype == jnp.float32, aq=aq) * 1.3),
                     32 * 1024 * 1024),
                 _VMEM_LIMIT_CAP,
             ),
@@ -474,7 +526,7 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
     return out.reshape(n, t_len, h_len, w_len, c)
 
 
-def pick_htile(shape, nb, max_shift, dtype):
+def pick_htile(shape, nb, max_shift, dtype, aq=False):
     """Choose an H tile size for fused_block_run_htiled, or None.
 
     Returns the largest divisor of H whose overlapped tiles fit VMEM with at
@@ -488,13 +540,14 @@ def pick_htile(shape, nb, max_shift, dtype):
         if (tile_h + 2 * halo) / tile_h > 1.6:
             return None  # halo recompute overhead too high
         tiled = (n * (h // tile_h), t, tile_h + 2 * halo, w, c)
-        if pick_group(tiled, max_shift, dtype) >= 1:
+        if pick_group(tiled, max_shift, dtype, aq=aq) >= 1:
             return tile_h
     return None
 
 
 def fused_block_run_htiled(x, vt, wm, se=None, *, max_shift, tile_h,
-                           aq=False, group=None, interpret=None):
+                           aq=False, group=None, mxu_taps=None,
+                           interpret=None):
     """fused_block_run over H-tiles with overlapped halos, for stages whose
     whole clip does not fit VMEM (e.g. 112x112 early stages).
 
@@ -524,7 +577,7 @@ def fused_block_run_htiled(x, vt, wm, se=None, *, max_shift, tile_h,
     )  # (N, n_tiles, T, win, W, C)
     xt = tiles.reshape(n * n_tiles, t_len, win, w_len, c)
     out = fused_block_run(xt, vt, wm, se, max_shift=max_shift, aq=aq,
-                          group=group, interpret=interpret)
+                          group=group, mxu_taps=mxu_taps, interpret=interpret)
     out = out.reshape(n, n_tiles, t_len, win, w_len, c)
     parts = [
         jax.lax.slice_in_dim(

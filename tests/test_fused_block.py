@@ -123,6 +123,27 @@ def test_fused_block_per_frame_schedule(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("c,max_shift", [(128, 1), (72, 2)])
+def test_fused_block_mxu_taps_equivalence(c, max_shift):
+    """The MXU tap folding (T/H taps as scaled conv3 matmuls) must agree
+    with the VPU multiply-add schedule to float rounding."""
+    params, stats = _make_blocks(
+        jax.random.PRNGKey(13), 2, c, max_shift - 0.2
+    )
+    x = jax.random.normal(jax.random.PRNGKey(14), (2, 3, 6, 7, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    on = fused_block_run(x, vt, wm, max_shift=max_shift, mxu_taps=True)
+    off = fused_block_run(x, vt, wm, max_shift=max_shift, mxu_taps=False)
+    np.testing.assert_allclose(
+        np.asarray(on), np.asarray(off), rtol=2e-4, atol=2e-4
+    )
+    want = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(on), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_fused_block_se_gate():
     """SE tiers run the squeeze-excitation gate inside the kernel."""
     from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
