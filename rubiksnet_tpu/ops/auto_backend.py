@@ -60,8 +60,19 @@ def choose_input_grad_backend(og_shape, in_shape, stride, padding, quantize,
     return "select"
 
 
-def choose_shift_grad_backend(shape, dtype) -> str:
-    """Backend for the (3, C) shift-gradient taps under 'auto': the
-    select-unroll taps (static slices) beat the gather formulation on TPU at
-    every measured shape."""
+def choose_shift_grad_backend(x_shape, og_shape, stride, padding, max_shift,
+                              dtype) -> str:
+    """Backend for the (3, C) shift-gradient reduction under 'auto'.
+
+    The one-pass Pallas reduction kernel (ops/pallas/shift_grad_kernel.py)
+    reads x and the upstream gradient once; the XLA select-unroll taps
+    (static slices) materialize ~8 full-clip intermediates in HBM. Pallas
+    wins whenever it applies and the lanes are reasonably occupied; 'select'
+    remains the fallback (it beats gather at every measured shape)."""
+    from .pallas.shift_grad_kernel import shift_grad_pallas_supported
+
+    if shift_grad_pallas_supported(x_shape, og_shape, stride, padding, dtype,
+                                   max_shift) \
+            and lane_occupancy(x_shape[-1]) >= OCCUPANCY_MIN:
+        return "pallas"
     return "select"

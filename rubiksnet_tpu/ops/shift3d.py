@@ -235,7 +235,20 @@ def rubiks_shift_3d_shift_grad(
     if backend == "auto":
         from .auto_backend import choose_shift_grad_backend
 
-        backend = choose_shift_grad_backend(x.shape, x.dtype)
+        backend = choose_shift_grad_backend(
+            x.shape, og.shape, (st, sh, sw), (pt, ph, pw), max_shift, x.dtype
+        )
+    if backend == "pallas":
+        from .pallas.shift_grad_kernel import (
+            rubiks_shift3d_shift_grad_pallas,
+            shift_grad_pallas_supported,
+        )
+
+        if shift_grad_pallas_supported(
+            x.shape, og.shape, (st, sh, sw), (pt, ph, pw), x.dtype, max_shift
+        ):
+            return rubiks_shift3d_shift_grad_pallas(og, x, shift, max_shift)
+        backend = "select"
     if backend == "gather":
         taps = lambda y, sc, ax, sstride, spad, dout: core.corrected_taps(
             y, sc, ax, sstride, spad, dout
