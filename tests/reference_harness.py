@@ -141,6 +141,63 @@ def shift2d_forward_np(x, shift, strides, paddings, quantize):
     return out
 
 
+# ------------------------------------------------------- torchvision shim
+def _make_torchvision_shim():
+    """Minimal torchvision.transforms shim — torchvision is not installed in
+    this environment, and the reference's transforms.py uses only
+    ``transforms.Resize`` and ``transforms.CenterCrop`` (its eval scripts add
+    ``transforms.Compose``). Semantics follow torchvision's documented PIL
+    behavior: int Resize = shorter-side bilinear resize (no-op when the
+    shorter side already matches), CenterCrop with rounded offsets."""
+    from PIL import Image
+
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class Resize:
+        def __init__(self, size, interpolation=Image.BILINEAR):
+            self.size, self.interpolation = size, interpolation
+
+        def __call__(self, img):
+            if isinstance(self.size, int):
+                w, h = img.size
+                if (w <= h and w == self.size) or (h <= w and h == self.size):
+                    return img
+                if w < h:
+                    return img.resize(
+                        (self.size, int(self.size * h / w)), self.interpolation
+                    )
+                return img.resize(
+                    (int(self.size * w / h), self.size), self.interpolation
+                )
+            return img.resize(tuple(self.size)[::-1], self.interpolation)
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+        def __call__(self, img):
+            w, h = img.size
+            th, tw = self.size
+            x1 = int(round((w - tw) / 2.0))
+            y1 = int(round((h - th) / 2.0))
+            return img.crop((x1, y1, x1 + tw, y1 + th))
+
+    tr.Compose, tr.Resize, tr.CenterCrop = Compose, Resize, CenterCrop
+    tr.Scale = Resize
+    tv.transforms = tr
+    return tv, tr
+
+
 # --------------------------------------------------------------- the shim
 def _make_rubiksnet_cuda_shim():
     import oracle  # loop transcription of the CUDA kernels (tests/oracle.py)
@@ -215,6 +272,10 @@ def load_reference():
     import torch
 
     sys.modules.setdefault("rubiksnet_cuda", _make_rubiksnet_cuda_shim())
+    if "torchvision" not in sys.modules:
+        tv, tr = _make_torchvision_shim()
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
     torch.Tensor.is_cuda = property(lambda self: True)
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
