@@ -7,6 +7,7 @@ finetune script never saves and its checkpoints carry no optimizer state
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rubiksnet_tpu.models import create_rubiksnet
 from rubiksnet_tpu.train import (
@@ -17,6 +18,10 @@ from rubiksnet_tpu.train import (
     sgd_with_shift_mult,
 )
 
+
+
+# Model-scale tests: excluded from the fast pre-commit loop (-m "not slow").
+pytestmark = pytest.mark.slow
 
 def _setup():
     bundle = create_rubiksnet("tiny", num_classes=3, num_frames=2, input_size=32)

