@@ -61,6 +61,10 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--max-shift", type=int, default=1)
     p.add_argument("--cases", default="stage2,stage3,stage4,stage1h,stage0h")
+    p.add_argument("--configs", default="mxu,vpu,g2,unfused",
+                   help="comma subset of {mxu,vpu,g2,unfused} to time "
+                        "(each config is one slow first compile on this "
+                        "runtime)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args()
@@ -108,24 +112,33 @@ def main():
                 case[label] = None
                 print(f"{name} {label}: FAILED {e}", flush=True)
 
+        configs = set(args.configs.split(","))
         if not htile:
             g_auto = pick_group(shape, k, dtype)
             case["group_auto"] = g_auto
-            time_one("fused_mxu_ms", lambda xv: fused_block_run(
-                xv, vt, wm, max_shift=k, mxu_taps=True))
-            time_one("fused_vpu_ms", lambda xv: fused_block_run(
-                xv, vt, wm, max_shift=k, mxu_taps=False))
-            if g_auto != 2 and n % 2 == 0:
+            if "mxu" in configs:
+                time_one("fused_mxu_ms", lambda xv: fused_block_run(
+                    xv, vt, wm, max_shift=k, mxu_taps=True))
+            if "vpu" in configs:
+                time_one("fused_vpu_ms", lambda xv: fused_block_run(
+                    xv, vt, wm, max_shift=k, mxu_taps=False))
+            if "g2" in configs and g_auto != 2 and n % 2 == 0:
                 time_one("fused_mxu_g2_ms", lambda xv: fused_block_run(
                     xv, vt, wm, max_shift=k, mxu_taps=True, group=2))
         else:
             tile_h = pick_htile(shape, nb, k, dtype)
             case["tile_h"] = tile_h
             if tile_h is not None:
-                time_one("htile_mxu_ms", lambda xv: fused_block_run_htiled(
-                    xv, vt, wm, max_shift=k, tile_h=tile_h, mxu_taps=True))
-                time_one("htile_vpu_ms", lambda xv: fused_block_run_htiled(
-                    xv, vt, wm, max_shift=k, tile_h=tile_h, mxu_taps=False))
+                if "mxu" in configs:
+                    time_one("htile_mxu_ms",
+                             lambda xv: fused_block_run_htiled(
+                                 xv, vt, wm, max_shift=k, tile_h=tile_h,
+                                 mxu_taps=True))
+                if "vpu" in configs:
+                    time_one("htile_vpu_ms",
+                             lambda xv: fused_block_run_htiled(
+                                 xv, vt, wm, max_shift=k, tile_h=tile_h,
+                                 mxu_taps=False))
 
         # unfused conv-backend chain (what the executor runs today for
         # non-fused stages)
@@ -139,7 +152,8 @@ def main():
                     {"params": pp, "batch_stats": ss}, xv, False)
             return xv
 
-        time_one("unfused_conv_ms", unfused)
+        if "unfused" in configs:
+            time_one("unfused_conv_ms", unfused)
         results["cases"][name] = case
 
     with open(args.out, "w") as f:
