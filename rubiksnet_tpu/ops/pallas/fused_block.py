@@ -336,40 +336,83 @@ def _kernel(
                             preferred_element_type=f32)
                 rows = pl.ds(base + t * h_len, h_len)
                 acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(acc.dtype)
-        elif mxu_taps and se_ref is None:
-            # MXU tap folding: the T/H tap stages are per-channel scalings of
-            # row-shifted slabs, and conv3 is the next op — so
-            #   e = conv3(Σ_{l,j} twT_l twH_j * wbuf[rows + l*hp + j])
-            #     = Σ_{l,j} wbuf[rows + l*hp + j] @ (diag(twT_l ⊙ twH_j) W3).
+        elif mxu_taps:
+            # MXU tap folding: each of the T/H tap stages is a per-channel
+            # scaling of row-shifted slabs, i.e. a matmul against a diagonal
+            # matrix — so the two stages chain as
+            #   u1 = Σ_l wbuf[rows + l*hp] @ diag(twT_l)          (T axis)
+            #   v  = Σ_j u1[rows + j] @ diag(twH_j)               (H axis)
+            # and without SE the H stage folds straight into conv3:
+            #   e  = Σ_j u1[rows + j] @ (diag(twH_j) W3).
             # That moves 2/3 of the tap multiply-adds from the VPU (the
-            # measured bottleneck at large frames) onto the idle MXU, at the
-            # cost of (2K+2)^2 scaled conv3 matmuls accumulated in f32. The
-            # scaled weights are built in-kernel (tiny VPU cost) so HBM
-            # weight traffic stays two matrices per block. AQ's temporal
-            # taps are identity, so only the H axis folds there (2K+2
-            # matmuls from the k*hp base).
-            e_acc = None
-            pairs = (
-                [(k, j) for j in range(taps_n)] if aq else
-                [(l, j) for l in range(taps_n) for j in range(taps_n)]
-            )
-            for l, j in pairs:
-                if aq:
-                    scale = vt_ref[0, 4 + taps_n + j, :].reshape(c, 1)
-                else:
-                    scale = (vt_ref[0, 4 + l, :]
-                             * vt_ref[0, 4 + taps_n + j, :]).reshape(c, 1)
-                w3s = (w3f * scale).astype(acc.dtype)
-                u_lj = wbuf[pl.ds(cbase + l * hp + j, v_len)].astype(
-                    acc.dtype
-                )
-                term = jnp.dot(u_lj.reshape(v_len * wp, c), w3s,
-                               preferred_element_type=f32)
-                e_acc = term if e_acc is None else e_acc + term
-            e3 = e_acc.reshape(v_len, wp, c).astype(acc.dtype)
-            for t in range(t_len):
-                rows = pl.ds(base + t * h_len, h_len)
-                acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+            # measured bottleneck, ~15x slower than MXU at stage2 shapes)
+            # onto the MXU for 2*(2K+2) extra matmuls per block — the
+            # factored form, not the (2K+2)^2 pair products, so the extra
+            # MXU FLOPs stay ~4x conv3 at K=1. Scaled/diagonal weights are
+            # built in-kernel (tiny VPU cost) so HBM weight traffic stays
+            # two matrices per block. AQ's temporal taps are identity, so
+            # the T stage disappears there. With SE, v is materialized via
+            # diagonal matmuls, gated per frame (the gate is a per-frame
+            # spatial mean), then fed to per-frame conv3 matmuls.
+            if aq:
+                u1 = wbuf[pl.ds(cbase + k * hp, u_len)].astype(acc.dtype)
+            else:
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+                ).astype(f32)
+                u_acc = None
+                for l in range(taps_n):
+                    d = (eye * vt_ref[0, 4 + l, :].reshape(1, c)).astype(
+                        acc.dtype
+                    )
+                    u_l = wbuf[pl.ds(cbase + l * hp, u_len)].astype(
+                        acc.dtype
+                    )
+                    term = jnp.dot(u_l.reshape(u_len * wp, c), d,
+                                   preferred_element_type=f32)
+                    u_acc = term if u_acc is None else u_acc + term
+                u1 = u_acc.reshape(u_len, wp, c).astype(acc.dtype)
+            if se_ref is None:
+                e_acc = None
+                for j in range(taps_n):
+                    w3s = (w3f * vt_ref[0, 4 + taps_n + j, :].reshape(c, 1)
+                           ).astype(acc.dtype)
+                    term = jnp.dot(
+                        u1[j : j + v_len].reshape(v_len * wp, c), w3s,
+                        preferred_element_type=f32,
+                    )
+                    e_acc = term if e_acc is None else e_acc + term
+                e3 = e_acc.reshape(v_len, wp, c).astype(acc.dtype)
+                for t in range(t_len):
+                    rows = pl.ds(base + t * h_len, h_len)
+                    acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+            else:
+                eye_h = (
+                    jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+                ).astype(f32)
+                v_acc = None
+                for j in range(taps_n):
+                    d = (eye_h * vt_ref[0, 4 + taps_n + j, :].reshape(1, c)
+                         ).astype(acc.dtype)
+                    term = jnp.dot(
+                        u1[j : j + v_len].reshape(v_len * wp, c), d,
+                        preferred_element_type=f32,
+                    )
+                    v_acc = term if v_acc is None else v_acc + term
+                v3 = v_acc.reshape(v_len, wp, c)
+                for t in range(t_len):
+                    v_t = v3[t * hp : t * hp + h_len]
+                    v_t = v_t * se_gate(v_t).reshape(1, 1, c)
+                    e = jnp.dot(
+                        v_t.astype(acc.dtype).reshape(h_len * wp, c), w3,
+                        preferred_element_type=f32,
+                    )
+                    rows = pl.ds(base + t * h_len, h_len)
+                    acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(
+                        acc.dtype
+                    )
         else:
             # Whole-clip big ops: the few inter-frame garbage rows (hp vs h)
             # ride through the matmul and are dropped at extraction.
@@ -434,9 +477,11 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         given, every block applies the SE gate between shift and conv3.
       max_shift: static K bound on the integer part of the shifts.
       group: clips per grid step (default: auto via pick_group).
-      mxu_taps: fold the T/H tap stages into (2K+2)^2 scaled conv3 matmuls
-        on the MXU instead of VPU multiply-adds (default: on whenever SE is
-        off; RUBIKS_FUSED_MXU_TAPS=0 disables for A/B).
+      mxu_taps: run the T/H tap stages as chained diagonal-scaled matmuls
+        on the MXU instead of VPU multiply-adds (2*(2K+2) extra matmuls per
+        block; with SE the shifted activation is materialized and gated
+        before per-frame conv3). Default on; RUBIKS_FUSED_MXU_TAPS=0
+        disables for A/B.
 
     Returns (N, T, H, W, C), equal to applying the B blocks sequentially.
     """
@@ -457,16 +502,21 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
     th = t_len * h_len
 
     if mxu_taps is None:
-        mxu_taps = (se is None
-                    and os.environ.get("RUBIKS_FUSED_MXU_TAPS", "1") == "1")
+        mxu_taps = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "1") == "1"
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
         g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
         wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype, aq=aq,
-        mxu_taps=mxu_taps and se is None,
+        mxu_taps=mxu_taps,
     )
-    n_matmuls = (1 + (taps_n if aq else taps_n ** 2)) if mxu_taps else 2
+    if mxu_taps:
+        # conv2 + (T diag stage) + (H diag/fold stage) + SE's per-frame
+        # conv3 (which sums to ~one slab matmul of FLOPs).
+        n_matmuls = (1 + (0 if aq else taps_n) + taps_n
+                     + (0 if se is None else 1))
+    else:
+        n_matmuls = 2
     n_vpu_tap_stages = 1 if mxu_taps else 3
     flops_per_step = g_len * (
         n_matmuls * 2 * th * wp * c * c

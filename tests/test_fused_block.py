@@ -144,6 +144,32 @@ def test_fused_block_mxu_taps_equivalence(c, max_shift):
     )
 
 
+@pytest.mark.parametrize("c,max_shift", [(144, 1), (72, 2)])
+def test_fused_block_mxu_taps_se(c, max_shift):
+    """MXU tap folding with SE: the shifted activation is materialized via
+    diagonal matmuls, gated, then fed to per-frame conv3 — must agree with
+    the VPU schedule and the unfused chain."""
+    from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
+
+    red = 12
+    params, stats = _make_blocks(
+        jax.random.PRNGKey(15), 2, c, max_shift - 0.2, se_reduction=red
+    )
+    x = jax.random.normal(jax.random.PRNGKey(16), (2, 3, 6, 7, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    se = stack_se_params(params)
+    on = fused_block_run(x, vt, wm, se, max_shift=max_shift, mxu_taps=True)
+    off = fused_block_run(x, vt, wm, se, max_shift=max_shift, mxu_taps=False)
+    np.testing.assert_allclose(
+        np.asarray(on), np.asarray(off), rtol=5e-4, atol=5e-4
+    )
+    want = _unfused(params, stats, x, "conv", max_shift, use_se=red)
+    np.testing.assert_allclose(
+        np.asarray(on), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_fused_block_se_gate():
     """SE tiers run the squeeze-excitation gate inside the kernel."""
     from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
