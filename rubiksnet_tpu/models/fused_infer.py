@@ -23,13 +23,12 @@ from ..nn.backbone import RubiksShiftBlock, conv_init
 from ..ops.pallas.fused_block import (
     fold_bn,
     fused_block_run,
-    fused_block_run_htiled,
     fused_block_supported,
-    pick_htile,
     stack_block_params,
     stack_block_params_aq,
     stack_se_params,
 )
+from ..ops.pallas.fused_frames import fused_frames_run, fused_frames_supported
 from .rubiksnet import TIERS, RubiksNet
 
 
@@ -96,12 +95,9 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     x = stem.apply({"params": params["conv1"]}, video)
 
     aq = model.variant == "rubiks3d-aq"
-    # H-tiled execution of clips too large for VMEM is opt-in: it is exact
-    # (tests) but measured slower than the XLA conv path for the early
-    # stages on v5e (tile windows at C=72 waste 44% of the lanes, and the
-    # tile count multiplies the per-step cost), and its kernels compile
-    # slowly on this runtime.
-    use_htile = os.environ.get("RUBIKS_FUSED_HTILE", "0") == "1"
+    # Clips too large for whole-clip VMEM (the 112^2/56^2 early stages) run
+    # the per-frame grid-phase kernel instead; opt-out for A/B.
+    use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "1") == "1"
 
     def fusable(name, cin, cout, stride, shape):
         if not (stride == 1 and cin == cout
@@ -115,10 +111,9 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
             return False
         if fused_block_supported(shape, model.shift_max_shift, dtype, aq=aq):
             return True
-        # Too big for a whole clip in VMEM: H-tiling works when SE is off.
-        return use_htile and not use_se and pick_htile(
-            shape, 1, model.shift_max_shift, dtype, aq=aq
-        ) is not None
+        return use_frames and fused_frames_supported(
+            shape, model.shift_max_shift, dtype, aq=aq
+        )
 
     i = 0
     while i < len(plan):
@@ -154,37 +149,9 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                     x, vt, wm, se, aq=aq, max_shift=model.shift_max_shift,
                 )
             else:
-                tile_h = pick_htile(
-                    x.shape, len(run_names), model.shift_max_shift, dtype,
-                    aq=aq,
+                x = fused_frames_run(
+                    x, vt, wm, se, max_shift=model.shift_max_shift,
                 )
-                if tile_h is None:
-                    # Halo would dominate a long chain: split the run into
-                    # single blocks, each tiled independently.
-                    for nm in run_names:
-                        if aq:
-                            vt1, wm1 = stack_block_params_aq(
-                                [params[nm]], [stats[nm]], dtype,
-                                model.shift_max_shift,
-                            )
-                        else:
-                            vt1, wm1 = stack_block_params(
-                                [params[nm]], [stats[nm]], dtype,
-                                model.shift_max_shift,
-                                quantize=model.quantize,
-                            )
-                        x = fused_block_run_htiled(
-                            x, vt1, wm1, None, aq=aq,
-                            max_shift=model.shift_max_shift,
-                            tile_h=pick_htile(x.shape, 1,
-                                              model.shift_max_shift, dtype,
-                                              aq=aq),
-                        )
-                else:
-                    x = fused_block_run_htiled(
-                        x, vt, wm, None, aq=aq,
-                        max_shift=model.shift_max_shift, tile_h=tile_h,
-                    )
             i = j
         else:
             x = _apply_unfused_block(

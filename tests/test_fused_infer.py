@@ -106,6 +106,29 @@ def test_fused_infer_aq_quantize_falls_back():
     )
 
 
+def test_fused_infer_frames_dispatch(monkeypatch):
+    """When the whole-clip kernel rejects a shape (VMEM), the executor must
+    route the run through the per-frame grid-phase kernel and still agree
+    with the regular apply. Forced here by stubbing out the whole-clip
+    support check (real trigger is the 112^2/56^2 early stages)."""
+    import rubiksnet_tpu.models.fused_infer as fi
+
+    monkeypatch.setattr(fi, "fused_block_supported",
+                        lambda *a, **kw: False)
+    bundle = create_rubiksnet(
+        "small", num_classes=5, num_frames=2, input_size=16,
+        shift_backend="conv", shift_max_shift=2,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(5), (1, 2, 16, 16, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_fused_eval_step_on_mesh():
     """Fused eval step composes with the sharded batch path (8-device CPU
     mesh; on real multi-chip hardware the kernel partitions over the batch
