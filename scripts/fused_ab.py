@@ -80,6 +80,9 @@ def main():
         fused_block_run, fused_block_run_htiled, pick_group, pick_htile,
         stack_block_params,
     )
+    from rubiksnet_tpu.ops.pallas.fused_frames import (
+        fused_frames_run, fused_frames_supported,
+    )
     from rubiksnet_tpu.utils.benchmark import time_chained
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -126,6 +129,14 @@ def main():
                 time_one("fused_mxu_g2_ms", lambda xv: fused_block_run(
                     xv, vt, wm, max_shift=k, mxu_taps=True, group=2))
         else:
+            if "frames" in configs and fused_frames_supported(
+                    shape, k, dtype):
+                time_one("frames_mxu_ms", lambda xv: fused_frames_run(
+                    xv, vt, wm, max_shift=k, mxu_taps=True))
+            if "framesvpu" in configs and fused_frames_supported(
+                    shape, k, dtype):
+                time_one("frames_vpu_ms", lambda xv: fused_frames_run(
+                    xv, vt, wm, max_shift=k, mxu_taps=False))
             tile_h = pick_htile(shape, nb, k, dtype)
             case["tile_h"] = tile_h
             if tile_h is not None:

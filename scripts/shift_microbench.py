@@ -38,6 +38,7 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     k = args.max_shift
     shapes = {
+        "stage1": (args.batch, 8, 56, 56, 72),
         "stage2": (args.batch, 8, 28, 28, 144),
         "stage3": (args.batch, 8, 14, 14, 288),
     }
@@ -50,7 +51,7 @@ def main():
             jnp.float32,
         )
         case = {}
-        for backend in ("pallas", "conv", "select"):
+        for backend in ("pallas", "conv", "select", "auto"):
             fwd = lambda x_: s3d.rubiks_shift_3d_forward(
                 x_, shift, backend=backend, max_shift=k
             )
@@ -72,6 +73,13 @@ def main():
             case["conv"]["fwd_ms"] / case["pallas"]["fwd_ms"], 2)
         case["pallas_vs_conv_bwd"] = round(
             case["conv"]["bwd_ms"] / case["pallas"]["bwd_ms"], 2)
+        # >= 1.0 (modulo runtime noise) means auto really picks the winner
+        case["auto_vs_best_fwd"] = round(
+            min(case[b]["fwd_ms"] for b in ("pallas", "conv", "select"))
+            / case["auto"]["fwd_ms"], 2)
+        case["auto_vs_best_bwd"] = round(
+            min(case[b]["bwd_ms"] for b in ("pallas", "conv", "select"))
+            / case["auto"]["bwd_ms"], 2)
         results["cases"][name] = case
 
     with open(args.out, "w") as f:
