@@ -112,7 +112,7 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
         if fused_block_supported(shape, model.shift_max_shift, dtype, aq=aq):
             return True
         return use_frames and fused_frames_supported(
-            shape, model.shift_max_shift, dtype, aq=aq
+            shape, model.shift_max_shift, dtype, aq=aq, se=use_se
         )
 
     i = 0

@@ -14,9 +14,9 @@ phases per block:
   phase A (T steps): bn1+relu on the frame, 1x1-conv MXU matmul, bn2+relu,
     stored into the halo buffer with freshly zeroed halo borders;
   phase B (T steps): the W-axis shift taps, IN PLACE in the halo buffer
-    (value-load the frame, tap, store back) — this replaces the whole-clip
-    kernel's separate W-shifted scratch, whose extra ~36 MB is what pushed
-    112^2 clips out of VMEM;
+    (value-load, tap, store back) — this replaces the whole-clip kernel's
+    separate W-shifted scratch, whose extra ~36 MB is what pushed 112^2
+    clips out of VMEM;
   phase C (T steps): T/H taps (factored diagonal matmuls on the MXU, or VPU
     multiply-adds), the SE gate, the conv3 matmul, and the shortcut add.
 
@@ -25,10 +25,28 @@ compiled body stays one frame's worth of code — the unrolled per-frame
 schedule this replaces sent this runtime's Mosaic into an apparently
 unbounded compile (see fused_block.py::_PER_FRAME_ROWS).
 
+When even one frame's f32 temporaries overflow VMEM (stage0: 112^2 rows),
+each phase additionally iterates W SPLITS inside the step (unrolled Python
+loop, `ws` splits of `wc = Wp/ws` columns). This is safe because:
+  * conv2/conv3 are 1x1 and the T/H taps never mix W columns;
+  * the in-place W taps of a split read only columns >= its own write
+    base + the interior offset, and later splits' sources, so ascending
+    splits never read an already-written column;
+  * the SE gate (a full-frame spatial mean — the reason H-tiled schedules
+    could not run SE) accumulates per-split sums, with the gated conv3
+    second pass reading the shifted activation from a small per-frame f32
+    scratch (`vbuf`) instead of recomputing the taps.
+Split geometry keeps every bf16 ref slice offset EVEN (interior base kp =
+roundup(k, 2); this runtime's Mosaic miscompiles odd-offset sublane slices
+of bf16 values — on-chip bisection, see fused_block.py) and every split
+width a multiple of the sublane tile so (rows, wc, C) <-> (rows*wc, C)
+reshapes around the matmuls stay layout-preserving; per-tap slicing happens
+on f32 values only.
+
 Why SE works here but not with H-tiling: the SE gate is a *global spatial
 mean* over the frame (backbone.py SELayer), so any schedule that splits a
 frame across independent grid steps cannot compute it; a per-frame step
-sees the whole frame.
+sees the whole frame (across its unrolled splits).
 
 Input/output BlockSpecs are per frame so the pipeline buffers hold one
 frame each (whole-clip blocks would cost 4 x ~26 MB at 112^2).
@@ -51,7 +69,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_block import _geometry, _round_up, _VMEM_LIMIT_CAP
+from .fused_block import _round_up, _sub, _VMEM_LIMIT_CAP
 
 # Leave headroom under the empirically verified ~120 MB per-kernel VMEM
 # ceiling for Mosaic's own temporaries (which this estimate models
@@ -59,9 +77,32 @@ from .fused_block import _geometry, _round_up, _VMEM_LIMIT_CAP
 _FRAMES_VMEM_BUDGET = 114 * 1024 * 1024
 
 
-def _frames_vmem_bytes(shape, max_shift, dtype, sdtype) -> int:
+def _ws_geometry(t, h, w, c, k, dtype, sdtype, ws):
+    """Padded geometry for a `ws`-way W-split per-frame schedule.
+
+    Returns (wp, wc, kp, off, tp, hp, wche, wph): padded interior width,
+    split width, even interior column base, tap read offset (kp - k), padded
+    frame counts/heights, per-split halo load extent, and halo buffer width.
+    """
+    sub = _sub(dtype)
+    wp = _round_up(w, sub)
+    assert wp % ws == 0, (wp, ws)
+    wc = wp // ws
+    kp = _round_up(k, 2)
+    off = kp - k
+    tp = t + 2 * k + 1
+    hp = h + 2 * k + 1
+    wche = _round_up(wc + off + 2 * k + 1, 2)
+    wph = _round_up(max(kp + w + k + 1, wp - wc + wche),
+                    _sub(sdtype))
+    return wp, wc, kp, off, tp, hp, wche, wph
+
+
+def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se) -> int:
     n, t, h, w, c = shape
-    k, sub, wp, tp, hp, wph = _geometry(t, h, w, c, max_shift, dtype, sdtype)
+    k = max_shift
+    wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
+        t, h, w, c, k, dtype, sdtype, ws)
     itemsize = jnp.dtype(dtype).itemsize
     sitem = jnp.dtype(sdtype).itemsize
     cp = _round_up(c, 128)
@@ -69,38 +110,67 @@ def _frames_vmem_bytes(shape, max_shift, dtype, sdtype) -> int:
     cbuf = tp * hp * wph * cp * sitem
     io = 4 * h * wp * cp * itemsize  # double-buffered per-frame in + out
     weights = 4 * cp * cp * itemsize
-    # Live per-frame f32 temporaries: phase C holds ~2 halo-frame values
-    # (tap source + accumulator) and ~2 frame values (v, conv3 result);
-    # phases A/B stay under that.
-    temps = 2 * hp * wph * cp * 4 + 2 * hp * wp * cp * 4 + 2 * h * wp * cp * 4
-    return acc + cbuf + io + weights + temps
+    vbuf = h * wp * cp * 4 if (se and ws > 1) else 0
+    # Phases are disjoint @pl.when branches; budget phase B's halo slice +
+    # tap accumulator plus phase C's two-stage tap pyramid (the two largest,
+    # which can coexist across Mosaic's scheduling windows).
+    temps = (2 * hp * wche * cp * 4
+             + 2 * hp * wc * cp * 4 + 2 * h * wc * cp * 4)
+    return acc + cbuf + io + weights + vbuf + temps
 
 
-def pick_frames_sdtype(shape, max_shift, dtype):
-    """Scratch dtype for the halo buffer: f32 when it fits (exact tap math,
-    no conversions), else the compute dtype."""
+def _ws_candidates(w, dtype):
+    """W split counts whose split width keeps sublane-tile alignment."""
+    sub = _sub(dtype)
+    wp = _round_up(w, sub)
+    out = []
+    for ws in range(1, wp // sub + 1):
+        if wp % ws == 0 and (wp // ws) % sub == 0 and (wp // ws) % 2 == 0:
+            out.append(ws)
+    return out
+
+
+def pick_frames_plan(shape, max_shift, dtype, se=False):
+    """(scratch dtype, W splits) for the per-frame schedule, or None.
+
+    Prefers the fewest splits, then f32 scratch (exact tap math, no
+    conversions) over the compute dtype."""
     if jnp.dtype(dtype).itemsize >= 4:
-        return dtype if _frames_vmem_bytes(
-            shape, max_shift, dtype, dtype) <= _FRAMES_VMEM_BUDGET else None
-    if _frames_vmem_bytes(shape, max_shift, dtype,
-                          jnp.float32) <= _FRAMES_VMEM_BUDGET:
-        return jnp.float32
-    if _frames_vmem_bytes(shape, max_shift, dtype,
-                          dtype) <= _FRAMES_VMEM_BUDGET:
-        return dtype
+        sdtypes = [dtype]
+    else:
+        sdtypes = [jnp.float32, dtype]
+    for ws in _ws_candidates(shape[3], dtype):
+        for sd in sdtypes:
+            if _plan_vmem_bytes(shape, max_shift, dtype, sd, ws,
+                                se) <= _FRAMES_VMEM_BUDGET:
+                return sd, ws
     return None
 
 
-def fused_frames_supported(shape, max_shift, dtype, aq=False) -> bool:
+def pick_frames_sdtype(shape, max_shift, dtype):
+    """Back-compat: scratch dtype of the unsplit (ws=1) schedule, or None."""
+    if jnp.dtype(dtype).itemsize >= 4:
+        sdtypes = [dtype]
+    else:
+        sdtypes = [jnp.float32, dtype]
+    for sd in sdtypes:
+        if _plan_vmem_bytes(shape, max_shift, dtype, sd, 1,
+                            False) <= _FRAMES_VMEM_BUDGET:
+            return sd
+    return None
+
+
+def fused_frames_supported(shape, max_shift, dtype, aq=False,
+                           se=False) -> bool:
     if aq or jnp.dtype(dtype).itemsize not in (2, 4):
         return False
-    return pick_frames_sdtype(shape, max_shift, dtype) is not None
+    return pick_frames_plan(shape, max_shift, dtype, se=se) is not None
 
 
 def _kernel(
-    x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf,
-    *, nb, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
-    mxu_taps=True,
+    x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, vbuf,
+    *, nb, t_len, h_len, w_len, c, k, ws, wp, wc, kp, off, tp, hp, wche,
+    wph, out_dtype, mxu_taps=True,
 ):
     b = pl.program_id(1)
     s = pl.program_id(2)
@@ -127,13 +197,10 @@ def _kernel(
     w2 = wm_ref[0, 0]
     w3 = wm_ref[0, 1]
 
-    def se_gate(v_frame):
-        """Squeeze-excitation gate (1, c) for one frame's shifted
-        activation (backbone.py SELayer: spatial mean, fc-relu-fc,
+    def gate_from_mean(m):
+        """Squeeze-excitation gate (1, c) from the frame's spatial mean of
+        the shifted activation (backbone.py SELayer: fc-relu-fc,
         sigmoid)."""
-        m = jnp.sum(v_frame[:, :w_len, :], axis=(0, 1)).reshape(1, c) * (
-            1.0 / (h_len * w_len)
-        )
         y1 = jnp.maximum(
             jnp.dot(m, se_ref[0, 0], preferred_element_type=f32), 0
         )
@@ -156,65 +223,79 @@ def _kernel(
                 )
             acc[rows, 0:w_len, :] = x_ref[...].astype(acc.dtype)
 
-        a = jnp.maximum(acc[rows] * bn1_s + bn1_b, 0)
-        bm = jnp.dot(a.reshape(h_len * wp, c), w2,
-                     preferred_element_type=f32)
-        cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
         fbase = (k + s) * hp
         # Fresh zero borders every block: the previous block's in-place
         # W-taps (phase B) left non-zero values outside the interior.
         cbuf[pl.ds(fbase, hp)] = jnp.zeros((hp, wph, c), cbuf.dtype)
-        cbuf[pl.ds(fbase + k, h_len), k : k + w_len, :] = cm.reshape(
-            h_len, wp, c
-        )[:, :w_len, :]
+        for wi in range(ws):
+            cs = wi * wc
+            a = jnp.maximum(acc[rows, cs:cs + wc, :] * bn1_s + bn1_b, 0)
+            bm = jnp.dot(a.reshape(h_len * wc, c), w2,
+                         preferred_element_type=f32)
+            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
+            wcv = min(wc, w_len - cs)
+            if wcv > 0:
+                cbuf[pl.ds(fbase + k, h_len),
+                     kp + cs : kp + cs + wcv, :] = cm.reshape(
+                         h_len, wc, c)[:, :wcv, :]
 
     @pl.when(jnp.logical_and(s >= t_len, s < 2 * t_len))
     def _phase_b():
         fbase = (s - t_len + k) * hp
-        cc = cbuf[pl.ds(fbase, hp)].astype(f32)  # full frame, then slice
-        wv = None
-        for j in range(taps_n):
-            term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(1, 1, c) * (
-                cc[:, j : j + wp, :]
-            )
-            wv = term if wv is None else wv + term
-        cbuf[pl.ds(fbase, hp), 0:wp, :] = wv.astype(cbuf.dtype)
+        for wi in range(ws):
+            cs = wi * wc
+            # Whole halo slice loaded, taps sliced from the f32 VALUE
+            # (bf16 value slices at odd sublane offsets miscompile).
+            cc = cbuf[pl.ds(fbase, hp), cs:cs + wche, :].astype(f32)
+            wv = None
+            for j in range(taps_n):
+                term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(1, 1, c) * (
+                    cc[:, off + j : off + j + wc, :]
+                )
+                wv = term if wv is None else wv + term
+            # In-place: split wi writes [cs, cs+wc); its own reads came from
+            # the value above, and later splits read >= cs + wc + off.
+            cbuf[pl.ds(fbase, hp), cs:cs + wc, :] = wv.astype(cbuf.dtype)
 
     @pl.when(s >= 2 * t_len)
     def _phase_c():
         t = s - 2 * t_len
-        if mxu_taps:
-            eye = (
-                jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-            ).astype(f32)
-            u_acc = None
-            for l in range(taps_n):
-                d = (eye * vt_ref[0, 4 + l, :].reshape(1, c)).astype(
-                    acc.dtype
-                )
-                u_l = cbuf[pl.ds((t + l) * hp, hp), 0:wp, :].astype(
-                    acc.dtype
-                )
-                term = jnp.dot(u_l.reshape(hp * wp, c), d,
-                               preferred_element_type=f32)
-                u_acc = term if u_acc is None else u_acc + term
-            u1 = u_acc.reshape(hp, wp, c).astype(acc.dtype)
-            v_acc = None
-            for j in range(taps_n):
-                d = (eye * vt_ref[0, 4 + taps_n + j, :].reshape(1, c)
-                     ).astype(acc.dtype)
-                term = jnp.dot(
-                    u1[j : j + h_len].reshape(h_len * wp, c), d,
-                    preferred_element_type=f32,
-                )
-                v_acc = term if v_acc is None else v_acc + term
-            v = v_acc.reshape(h_len, wp, c)
-        else:
+        rows = pl.ds(t * h_len, h_len)
+
+        def compute_v(wi):
+            """T/H taps for split wi: (h_len, wc, c) f32."""
+            cs = wi * wc
+            if mxu_taps:
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+                ).astype(f32)
+                u_acc = None
+                for l in range(taps_n):
+                    d = (eye * vt_ref[0, 4 + l, :].reshape(1, c)).astype(
+                        acc.dtype
+                    )
+                    u_l = cbuf[pl.ds((t + l) * hp, hp), cs:cs + wc, :].astype(
+                        acc.dtype
+                    )
+                    term = jnp.dot(u_l.reshape(hp * wc, c), d,
+                                   preferred_element_type=f32)
+                    u_acc = term if u_acc is None else u_acc + term
+                u1 = u_acc.reshape(hp, wc, c).astype(acc.dtype)
+                v_acc = None
+                for j in range(taps_n):
+                    d = (eye * vt_ref[0, 4 + taps_n + j, :].reshape(1, c)
+                         ).astype(acc.dtype)
+                    term = jnp.dot(
+                        u1[j : j + h_len].reshape(h_len * wc, c), d,
+                        preferred_element_type=f32,
+                    )
+                    v_acc = term if v_acc is None else v_acc + term
+                return v_acc.reshape(h_len, wc, c)
             u = None
             for l in range(taps_n):
                 term = vt_ref[0, 4 + l, :].reshape(1, 1, c) * (
-                    cbuf[pl.ds((t + l) * hp, hp), 0:wp, :].astype(f32)
+                    cbuf[pl.ds((t + l) * hp, hp), cs:cs + wc, :].astype(f32)
                 )
                 u = term if u is None else u + term
             v = None
@@ -223,48 +304,92 @@ def _kernel(
                     u[j : j + h_len]
                 )
                 v = term if v is None else v + term
-        if se_ref is not None:
-            v = v * se_gate(v).reshape(1, 1, c)
-        e = jnp.dot(v.astype(acc.dtype).reshape(h_len * wp, c), w3,
-                    preferred_element_type=f32)
-        rows = pl.ds(t * h_len, h_len)
-        new = acc[rows] + e.reshape(h_len, wp, c).astype(acc.dtype)
-        acc[rows] = new
+            return v
 
-        @pl.when(b == nb - 1)
-        def _out():
-            out_ref[...] = new[:, :w_len, :].astype(out_dtype)
+        def finish(wi, v, gate):
+            cs = wi * wc
+            if gate is not None:
+                v = v * gate.reshape(1, 1, c)
+            e = jnp.dot(v.astype(acc.dtype).reshape(h_len * wc, c), w3,
+                        preferred_element_type=f32)
+            new = acc[rows, cs:cs + wc, :] + e.reshape(
+                h_len, wc, c).astype(acc.dtype)
+            acc[rows, cs:cs + wc, :] = new
+            wcv = min(wc, w_len - cs)
+            if wcv > 0:
+                @pl.when(b == nb - 1)
+                def _out():
+                    out_ref[:, cs:cs + wcv, :] = new[:, :wcv, :].astype(
+                        out_dtype)
+
+        inv_hw = 1.0 / (h_len * w_len)
+        if se_ref is None:
+            for wi in range(ws):
+                finish(wi, compute_v(wi), None)
+        elif ws == 1:
+            v = compute_v(0)
+            m = jnp.sum(v[:, :w_len, :], axis=(0, 1)).reshape(1, c) * inv_hw
+            finish(0, v, gate_from_mean(m))
+        else:
+            ssum = None
+            for wi in range(ws):
+                v = compute_v(wi)
+                vbuf[:, wi * wc : wi * wc + wc, :] = v
+                wcv = min(wc, w_len - wi * wc)
+                if wcv > 0:
+                    part = jnp.sum(v[:, :wcv, :], axis=(0, 1))
+                    ssum = part if ssum is None else ssum + part
+            gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
+            for wi in range(ws):
+                finish(wi, vbuf[:, wi * wc : wi * wc + wc, :], gate)
 
 
 def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, **kw):
-    _kernel(x_ref, vt_ref, wm_ref, None, out_ref, acc, cbuf, **kw)
+    _kernel(x_ref, vt_ref, wm_ref, None, out_ref, acc, cbuf, None, **kw)
+
+
+def _kernel_se_ws1(x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, **kw):
+    _kernel(x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, None, **kw)
 
 
 def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
-                     interpret=None):
+                     interpret=None, ws=None):
     """Apply a chain of B fused blocks, one frame per grid step.
 
     Same contract as fused_block.fused_block_run (minus AQ/group): x is
     (N, T, H, W, C); vt/wm/se as produced by stack_block_params /
-    stack_se_params. Returns (N, T, H, W, C).
+    stack_se_params. Returns (N, T, H, W, C). `ws` overrides the picked
+    W-split count (testing only).
     """
     n, t_len, h_len, w_len, c = x.shape
     nb = vt.shape[0]
-    sdtype = pick_frames_sdtype(x.shape, max_shift, x.dtype)
-    assert sdtype is not None, ("shape too large even per frame", x.shape)
-    k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift,
-                                        x.dtype, sdtype)
+    plan = pick_frames_plan(x.shape, max_shift, x.dtype, se=se is not None)
+    assert plan is not None, ("shape too large even per frame", x.shape)
+    sdtype, ws_pick = plan
+    if ws is None:
+        ws = ws_pick
+    k = max_shift
+    wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
+        t_len, h_len, w_len, c, k, x.dtype, sdtype, ws)
     taps_n = 2 * k + 2
     assert vt.shape == (nb, 4 + 3 * taps_n, c), vt.shape
     assert wm.shape == (nb, 2, c, c), wm.shape
     if mxu_taps is None:
         mxu_taps = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "1") == "1"
 
+    use_vbuf = se is not None and ws > 1
     x3 = x.reshape(n * t_len * h_len, w_len, c)
+    if se is not None and not use_vbuf:
+        kernel_fn = _kernel_se_ws1
+    elif se is not None:
+        kernel_fn = _kernel
+    else:
+        kernel_fn = _kernel_no_se
     kernel = functools.partial(
-        _kernel if se is not None else _kernel_no_se,
-        nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
-        wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype, mxu_taps=mxu_taps,
+        kernel_fn,
+        nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k, ws=ws,
+        wp=wp, wc=wc, kp=kp, off=off, tp=tp, hp=hp, wche=wche, wph=wph,
+        out_dtype=x.dtype, mxu_taps=mxu_taps,
     )
     in_specs = [
         pl.BlockSpec(
@@ -294,6 +419,14 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
                       jnp.clip(s - 2 * t_len, 0, t_len - 1), 0)
         return (i * t_len + f, 0, 0)
 
+    scratch_shapes = [
+        pltpu.VMEM((t_len * h_len, wp, c), x.dtype),  # clip accumulator
+        pltpu.VMEM((tp * hp, wph, c), sdtype),        # halo buffer
+    ]
+    if use_vbuf:
+        # Per-frame shifted activation, staged for the gated conv3 pass.
+        scratch_shapes.append(pltpu.VMEM((h_len, wp, c), jnp.float32))
+
     n_matmuls = (1 + 2 * taps_n + 1) if mxu_taps else 2
     flops_per_step = (
         n_matmuls * 2 * h_len * wp * c * c
@@ -307,14 +440,11 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * t_len * h_len, w_len, c),
                                        x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((t_len * h_len, wp, c), x.dtype),  # clip accumulator
-            pltpu.VMEM((tp * hp, wph, c), sdtype),        # halo buffer
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                max(int(_frames_vmem_bytes(x.shape, max_shift, x.dtype,
-                                           sdtype) * 1.1),
+                max(int(_plan_vmem_bytes(x.shape, max_shift, x.dtype,
+                                         sdtype, ws, se is not None) * 1.1),
                     32 * 1024 * 1024),
                 _VMEM_LIMIT_CAP,
             ),

@@ -79,6 +79,57 @@ def test_fused_frames_matches_whole_clip_kernel():
     )
 
 
+@pytest.mark.parametrize("max_shift", [1, 2])
+def test_fused_frames_wsplit_matches_unsplit(max_shift):
+    """The W-split schedule (stage0's VMEM escape hatch) must agree with the
+    unsplit one — in-place W-taps across split boundaries and the even
+    interior base (kp) included."""
+    c = 72
+    params, stats = _make_blocks(jax.random.PRNGKey(20 + max_shift), 2, c,
+                                 max_shift - 0.1)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 3, 5, 16, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    got = fused_frames_run(x, vt, wm, max_shift=max_shift, ws=2)
+    want = fused_frames_run(x, vt, wm, max_shift=max_shift, ws=1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    ref = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_frames_wsplit_se():
+    """SE across W splits: per-split sums feed one gate; the gated conv3
+    second pass reads the vbuf scratch."""
+    c, max_shift, red = 72, 1, 12
+    params, stats = _make_blocks(jax.random.PRNGKey(30), 2, c, 0.9,
+                                 se_reduction=red)
+    x = jax.random.normal(jax.random.PRNGKey(31), (2, 3, 5, 16, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    se = stack_se_params(params)
+    got = fused_frames_run(x, vt, wm, se, max_shift=max_shift, ws=2)
+    want = _unfused(params, stats, x, "conv", max_shift, use_se=red)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_fused_frames_stage0_plan():
+    """The flagship early stages must have a plan: stage1 unsplit, stage0
+    via W splits (the shape whose f32 temporaries overflow VMEM whole)."""
+    from rubiksnet_tpu.ops.pallas.fused_frames import pick_frames_plan
+
+    assert pick_frames_plan((64, 8, 56, 56, 72), 1, jnp.bfloat16,
+                            se=True) is not None
+    plan = pick_frames_plan((64, 8, 112, 112, 72), 1, jnp.bfloat16, se=True)
+    assert plan is not None
+    assert plan[1] > 1  # only a split schedule fits 112^2
+
+
 def test_fused_frames_batch_independence():
     """acc/cbuf scratch reuse across the clip grid dim must not leak."""
     c, max_shift = 128, 1
