@@ -28,7 +28,11 @@ from ..ops.pallas.fused_block import (
     stack_block_params_aq,
     stack_se_params,
 )
-from ..ops.pallas.fused_frames import fused_frames_run, fused_frames_supported
+from ..ops.pallas.fused_frames import (
+    fused_frames_run,
+    fused_frames_supported,
+    pick_frames_plan,
+)
 from .rubiksnet import TIERS, RubiksNet
 
 
@@ -96,8 +100,14 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
 
     aq = model.variant == "rubiks3d-aq"
     # Clips too large for whole-clip VMEM (the 112^2/56^2 early stages) run
-    # the per-frame grid-phase kernel instead; opt-out for A/B.
+    # the per-frame grid-phase kernel instead; opt-out for A/B. Only plans
+    # of quality ws <= max_ws are routed: a same-session full-model ABBA
+    # (scripts/model_ab.py, MODEL_AB.json) showed stage1's clean (f32, ws=1)
+    # plan wins big while stage0's degraded (bf16-scratch, ws=7) plan loses
+    # about as much as stage1 gains — so heavily W-split plans fall back to
+    # the unfused conv chain.
     use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "1") == "1"
+    frames_max_ws = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_WS", "1"))
 
     def fusable(name, cin, cout, stride, shape):
         if not (stride == 1 and cin == cout
@@ -111,9 +121,12 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
             return False
         if fused_block_supported(shape, model.shift_max_shift, dtype, aq=aq):
             return True
-        return use_frames and fused_frames_supported(
-            shape, model.shift_max_shift, dtype, aq=aq, se=use_se
-        )
+        if not use_frames or not fused_frames_supported(
+                shape, model.shift_max_shift, dtype, aq=aq, se=use_se):
+            return False
+        plan = pick_frames_plan(shape, model.shift_max_shift, dtype,
+                                se=use_se)
+        return plan is not None and plan[1] <= frames_max_ws
 
     i = 0
     while i < len(plan):

@@ -1,0 +1,123 @@
+"""Full-model A/B of executor scheduling choices, interleaved in ONE process.
+
+This runtime's wall clock drifts up to 4x between chip sessions
+(docs/PERF_NOTES.md), so cross-run comparisons of end-to-end throughput are
+meaningless. This script times the complete fused inference forward under
+two (or more) executor configs back-to-back in a single process, A/B/B/A
+ordered, so both sides see the same chip phase.
+
+Configs compared (RubiksNet-Large, bf16, K=1, 8x224 clips):
+  ws1: per-frame kernel only for clean plans (ws == 1: stage1), stage0
+       unfused — the executor default
+  all: per-frame kernel wherever it fits (stage0's ws=7 plan included)
+  off: all early stages on the unfused conv-backend chain (round-2
+       behavior)
+
+Writes MODEL_AB.json. Usage: python scripts/model_ab.py [--batch 64]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="MODEL_AB.json")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--tier", default="large")
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--configs", default="ws1,off",
+                   help="comma subset of {ws1,all,off}")
+    args = p.parse_args()
+
+    from rubiksnet_tpu.utils.platform import select_platform
+
+    select_platform()
+    import jax
+    import jax.numpy as jnp
+
+    from rubiksnet_tpu.models import create_rubiksnet
+    from rubiksnet_tpu.models.fused_infer import fused_infer_apply
+    from rubiksnet_tpu.utils.benchmark import time_chained
+
+    dtype = jnp.bfloat16
+    bundle = create_rubiksnet(
+        args.tier, num_classes=174, num_frames=args.frames, input_size=64,
+        dtype=dtype, shift_backend="auto", shift_max_shift=1,
+    )
+    device = jax.devices()[0]
+    variables = jax.device_put(bundle.variables, device)
+    video = jax.device_put(
+        jnp.asarray(
+            np.random.RandomState(0).randn(
+                args.batch, args.frames, args.size, args.size, 3
+            ),
+            dtype,
+        ),
+        device,
+    )
+
+    def forward_with(frames_flag, max_ws):
+        # The env vars are read at trace time inside fused_infer_apply;
+        # freeze them into this closure by setting them at every trace.
+        def fn(v):
+            os.environ["RUBIKS_FUSED_FRAMES"] = frames_flag
+            os.environ["RUBIKS_FUSED_FRAMES_MAX_WS"] = max_ws
+            return fused_infer_apply(bundle.model, variables, v)
+
+        return fn
+
+    env = {"ws1": ("1", "1"), "all": ("1", "99"), "off": ("0", "1")}
+    configs = {k: forward_with(*v) for k, v in env.items()}
+    which = [c for c in args.configs.split(",")]
+    # Mirrored order: each config timed twice, to cancel drift.
+    order = which + which[::-1]
+    samples = {k: [] for k in which}
+    for label in order:
+        os.environ["RUBIKS_FUSED_FRAMES"] = env[label][0]
+        os.environ["RUBIKS_FUSED_FRAMES_MAX_WS"] = env[label][1]
+        dt = time_chained(
+            configs[label], video, n_lo=1, n_hi=args.iters, repeats=2
+        )
+        samples[label].append(dt)
+        print(
+            f"{label}: {dt * 1e3:.2f} ms/batch = "
+            f"{args.batch / dt:.1f} clips/s",
+            flush=True,
+        )
+
+    out = {
+        "device": str(jax.devices()[0]),
+        "batch": args.batch,
+        "tier": args.tier,
+        "order": order,
+        "configs": {
+            k: {
+                "ms_per_batch": [round(s * 1e3, 2) for s in v],
+                "clips_per_s": [round(args.batch / s, 1) for s in v],
+                "best_clips_per_s": round(args.batch / min(v), 1),
+            }
+            for k, v in samples.items()
+        },
+    }
+    if "off" in samples:
+        for k in samples:
+            if k != "off":
+                out[f"{k}_speedup_vs_off"] = round(
+                    min(samples["off"]) / min(samples[k]), 3
+                )
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
