@@ -64,14 +64,10 @@ from ..conv_backend import _shift_kernel
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_LIMIT_CAP = 120 * 1024 * 1024
 _BN_EPS = 1e-5
-# Frames with at least this many (sublane) rows would be processed one at a
-# time (bounding the f32 temporaries so stage1-sized blocks fit VMEM).
-# DISABLED on TPU for now: the per-frame codegen sends this runtime's Mosaic
-# compiler into a >9-minute (likely unbounded) compile even for tiny shapes
-# (whole-clip codegen compiles fine; bisected on-chip 2026-08-17). Shapes
-# that would need it are reported unsupported and fall back to the XLA conv
-# path. The code path stays for interpret-mode coverage and future runtimes.
-_PER_FRAME_ROWS = 1 << 30
+# Clips too large for this whole-clip schedule are handled by the per-frame
+# grid-phase kernel in fused_frames.py (an unrolled per-frame fori here sent
+# this runtime's Mosaic into an apparently unbounded compile; grid iteration
+# does not — bisected on-chip 2026-08-17).
 
 
 def _sub(dtype) -> int:
@@ -115,14 +111,10 @@ def _group_vmem_bytes(shape, max_shift, dtype, group: int,
     abuf = g * (t + 2) * h * wp * cp * itemsize if aq else 0
     io_blocks = 2 * 2 * g * t * h * wp * cp * itemsize  # double-buffered io
     weight_blocks = 2 * 2 * cp * cp * itemsize
-    if h * wp >= _PER_FRAME_ROWS:
-        # Per-frame schedule: temporaries are one frame (+halo) at a time.
-        temps = 4 * h * wp * cp * 4 + 2 * hp * wph * cp * 4
-    else:
-        # Whole-clip schedule: matmul results + T/H tap stages for the
-        # full clip + one halo frame of the W stage.
-        temps = (2 * t * h * wp * cp * 4 + 2 * t * hp * wp * cp * 4
-                 + 2 * hp * wph * cp * 4)
+    # Whole-clip schedule: matmul results + T/H tap stages for the
+    # full clip + one halo frame of the W stage.
+    temps = (2 * t * h * wp * cp * 4 + 2 * t * hp * wp * cp * 4
+             + 2 * hp * wph * cp * 4)
     return acc + cbuf + wbuf + abuf + io_blocks + weight_blocks + temps
 
 
@@ -174,13 +166,12 @@ def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, abuf,
 
 def _kernel(
     x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, wbuf, abuf,
-    *, g_len, t_len, h_len, w_len, c, k, wp, tp, hp, wph, out_dtype,
+    *, g_len, t_len, h_len, w_len, c, k, taps_n, wp, tp, hp, wph, out_dtype,
     aq=False, mxu_taps=False,
 ):
     i = pl.program_id(0)
     b = pl.program_id(1)
     nb = pl.num_programs(1)
-    taps_n = 2 * k + 2
     th = t_len * h_len
     f32 = jnp.float32
 
@@ -217,7 +208,6 @@ def _kernel(
     # costs dominate small-frame stages otherwise.
     u_len = t_len * hp
     v_len = u_len - 2 * k - 1  # frame t's valid rows: [t*hp, t*hp + h)
-    per_frame = h_len * wp >= _PER_FRAME_ROWS
 
     def se_gate(v_frame):
         """Squeeze-excitation gate (1, c) for one frame's shifted activation
@@ -257,45 +247,17 @@ def _kernel(
         # buffer, rows laid out (t', h) so temporal taps are whole-slab row
         # shifts. Small frames batch the whole clip into one matmul; big
         # frames go one frame at a time to bound the f32 temporaries.
-        if per_frame:
-            for t in range(t_len):
-                a = jnp.maximum(
-                    acc[pl.ds(base + t * h_len, h_len)] * bn1_s + bn1_b, 0
-                )
-                if aq:
-                    abuf[pl.ds(abase + (1 + t) * h_len, h_len)] = a
-            for t in range(t_len):
-                if aq:
-                    a = None
-                    for j in range(3):
-                        term = vt_ref[0, 4 + 3 * taps_n + j, :].reshape(
-                            1, 1, c
-                        ) * abuf[pl.ds(abase + (t + j) * h_len,
-                                       h_len)].astype(f32)
-                        a = term if a is None else a + term
-                    a = a.astype(acc.dtype)
-                else:
-                    a = jnp.maximum(
-                        acc[pl.ds(base + t * h_len, h_len)] * bn1_s + bn1_b,
-                        0,
-                    )
-                bm = jnp.dot(a.reshape(h_len * wp, c), w2,
-                             preferred_element_type=f32)
-                cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
-                cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
-                     k : k + w_len, :] = cm.reshape(h_len, wp, c)[:, :w_len, :]
-        else:
-            a = jnp.maximum(acc[pl.ds(base, th)] * bn1_s + bn1_b, 0)
-            if aq:
-                a = aq_mix(a, abase)
-            bm = jnp.dot(a.reshape(th * wp, c), w2,
-                         preferred_element_type=f32)
-            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
-            c3 = cm.reshape(th, wp, c)
-            for t in range(t_len):
-                cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
-                     k : k + w_len, :] = c3[t * h_len : (t + 1) * h_len,
-                                            :w_len, :]
+        a = jnp.maximum(acc[pl.ds(base, th)] * bn1_s + bn1_b, 0)
+        if aq:
+            a = aq_mix(a, abase)
+        bm = jnp.dot(a.reshape(th * wp, c), w2,
+                     preferred_element_type=f32)
+        cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
+        c3 = cm.reshape(th, wp, c)
+        for t in range(t_len):
+            cbuf[pl.ds(cbase + (k + t) * hp + k, h_len),
+                 k : k + w_len, :] = c3[t * h_len : (t + 1) * h_len,
+                                        :w_len, :]
 
         # Pass 1.5: W-axis taps, once per halo frame (shared by every output
         # frame of the temporal taps below).
@@ -312,31 +274,7 @@ def _kernel(
         # Pass 2: T taps as row shifts by j*hp (the (t', h) row layout makes
         # "frame t+j" a pure row offset), H taps as row shifts by j, then the
         # second 1x1-conv matmul and the shortcut add into acc.
-        if per_frame:
-            for t in range(t_len):
-                if aq:
-                    # AQ's spatial shift is 2D: temporal taps are identity.
-                    u = wbuf[pl.ds(cbase + (t + k) * hp, hp)].astype(f32)
-                else:
-                    u = None
-                    for j in range(taps_n):
-                        term = vt_ref[0, 4 + j, :].reshape(1, 1, c) * (
-                            wbuf[pl.ds(cbase + (t + j) * hp, hp)].astype(f32)
-                        )
-                        u = term if u is None else u + term
-                v = None
-                for j in range(taps_n):
-                    term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
-                        u[j : j + h_len]
-                    )
-                    v = term if v is None else v + term
-                if se_ref is not None:
-                    v = v * se_gate(v).reshape(1, 1, c)
-                e = jnp.dot(v.astype(acc.dtype).reshape(h_len * wp, c), w3,
-                            preferred_element_type=f32)
-                rows = pl.ds(base + t * h_len, h_len)
-                acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(acc.dtype)
-        elif mxu_taps:
+        if mxu_taps:
             # MXU tap folding: each of the T/H tap stages is a per-channel
             # scaling of row-shifted slabs, i.e. a matmul against a diagonal
             # matrix — so the two stages chain as
@@ -493,22 +431,34 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
                                 aq=aq)
     k, sub, wp, tp, hp, wph = _geometry(t_len, h_len, w_len, c, max_shift,
                                         x.dtype, sdtype)
-    taps_n = 2 * k + 2
+    # Tap count comes from the stacked params (stack_block_params trims the
+    # identically-zero offset-(K+1) tap, so usually 2K+1, not 2K+2).
+    taps_n = (vt.shape[1] - 4 - (3 if aq else 0)) // 3
     vt_rows = 4 + 3 * taps_n + (3 if aq else 0)
-    assert vt.shape == (nb, vt_rows, c), (vt.shape, vt_rows)
+    assert vt.shape == (nb, vt_rows, c) and 1 <= taps_n <= 2 * k + 2, (
+        vt.shape, vt_rows, taps_n)
     assert wm.shape == (nb, 2, c, c), wm.shape
     g_len = g_pre
     assert g_len >= 1 and n % g_len == 0, (n, g_len)
     th = t_len * h_len
 
     if mxu_taps is None:
-        mxu_taps = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "1") == "1"
+        env = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "auto")
+        if env in ("0", "1"):
+            mxu_taps = env == "1"
+        else:
+            # Measured on-chip at bs64 (FUSED_AB.json history): with a bf16
+            # halo scratch every VPU tap pays a bf16->f32 relayout and the
+            # MXU fold wins 15x (stage2); with an f32 scratch the taps are
+            # native VPU work and the diagonal matmuls only add MXU load --
+            # VPU wins 3.2x (stage3) / 2.3x (stage4).
+            mxu_taps = sdtype != jnp.float32
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
         g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
-        wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype, aq=aq,
-        mxu_taps=mxu_taps,
+        taps_n=taps_n, wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype,
+        aq=aq, mxu_taps=mxu_taps,
     )
     if mxu_taps:
         # conv2 + (T diag stage) + (H diag/fold stage) + SE's per-frame
@@ -662,11 +612,17 @@ def stack_block_params(block_params, block_stats, dtype, max_shift,
                          s["bn2"]["mean"], s["bn2"]["var"])
         # Tap weights are built in the compute dtype (matching the conv
         # backend's shift.astype(x.dtype) semantics), then carried in f32.
+        # The last tap (offset +K+1) is identically zero whenever |s| <= K
+        # (its weight is frac(s - K), only nonzero for s > K, which already
+        # violates the max_shift bound for every backend) — trim it
+        # statically: 2K+1 taps instead of 2K+2, one fewer tap matmul per
+        # axis stage in the fused kernels.
+        tn = 2 * max_shift + 1
         shift = p["as3"]["rubiks3d"]["shift"].astype(dtype)
         taps = jnp.concatenate([
-            _shift_kernel(shift[0], dtype, max_shift, quantize),
-            _shift_kernel(shift[1], dtype, max_shift, quantize),
-            _shift_kernel(shift[2], dtype, max_shift, quantize),
+            _shift_kernel(shift[0], dtype, max_shift, quantize)[:tn],
+            _shift_kernel(shift[1], dtype, max_shift, quantize)[:tn],
+            _shift_kernel(shift[2], dtype, max_shift, quantize)[:tn],
         ]).astype(jnp.float32)
         vts.append(jnp.concatenate(
             [jnp.stack([s1, b1, s2, b2]).astype(jnp.float32), taps]
@@ -695,10 +651,11 @@ def stack_block_params_aq(block_params, block_stats, dtype, max_shift,
         shift2d = p["as3"]["shift"].astype(dtype)  # (2, C): (sH, sW)
         c = shift2d.shape[-1]
         zero = jnp.zeros((c,), dtype)
+        tn = 2 * max_shift + 1  # trailing tap zero for |s| <= K (see above)
         taps = jnp.concatenate([
-            _shift_kernel(zero, dtype, max_shift, False),  # identity T
-            _shift_kernel(shift2d[0], dtype, max_shift, False),
-            _shift_kernel(shift2d[1], dtype, max_shift, False),
+            _shift_kernel(zero, dtype, max_shift, False)[:tn],  # identity T
+            _shift_kernel(shift2d[0], dtype, max_shift, False)[:tn],
+            _shift_kernel(shift2d[1], dtype, max_shift, False)[:tn],
         ]).astype(jnp.float32)
         aw = attention_shift_weights(
             p["aq_shift"]["weight"].astype(dtype), temperature

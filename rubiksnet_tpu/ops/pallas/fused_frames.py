@@ -23,7 +23,7 @@ phases per block:
 Frames advance as *grid iterations*, not unrolled Python loops, so the
 compiled body stays one frame's worth of code — the unrolled per-frame
 schedule this replaces sent this runtime's Mosaic into an apparently
-unbounded compile (see fused_block.py::_PER_FRAME_ROWS).
+unbounded compile; that path has since been removed from fused_block.py).
 
 When even one frame's f32 temporaries overflow VMEM (stage0: 112^2 rows),
 each phase additionally iterates W SPLITS inside the step (unrolled Python
@@ -169,12 +169,11 @@ def fused_frames_supported(shape, max_shift, dtype, aq=False,
 
 def _kernel(
     x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, vbuf,
-    *, nb, t_len, h_len, w_len, c, k, ws, wp, wc, kp, off, tp, hp, wche,
-    wph, out_dtype, mxu_taps=True,
+    *, nb, t_len, h_len, w_len, c, k, taps_n, ws, wp, wc, kp, off, tp, hp,
+    wche, wph, out_dtype, mxu_taps=True,
 ):
     b = pl.program_id(1)
     s = pl.program_id(2)
-    taps_n = 2 * k + 2
     f32 = jnp.float32
     first = jnp.logical_and(pl.program_id(0) == 0,
                             jnp.logical_and(b == 0, s == 0))
@@ -371,11 +370,20 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
     k = max_shift
     wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
         t_len, h_len, w_len, c, k, x.dtype, sdtype, ws)
-    taps_n = 2 * k + 2
-    assert vt.shape == (nb, 4 + 3 * taps_n, c), vt.shape
+    # Tap count from the stacked params (the offset-(K+1) tap is trimmed
+    # as identically zero by stack_block_params; see fused_block.py).
+    taps_n = (vt.shape[1] - 4) // 3
+    assert vt.shape == (nb, 4 + 3 * taps_n, c) and 1 <= taps_n <= 2 * k + 2, (
+        vt.shape, taps_n)
     assert wm.shape == (nb, 2, c, c), wm.shape
     if mxu_taps is None:
-        mxu_taps = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "1") == "1"
+        env = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "auto")
+        if env in ("0", "1"):
+            mxu_taps = env == "1"
+        else:
+            # Same measured rule as fused_block_run: the MXU tap fold only
+            # pays off when VPU taps would eat bf16->f32 relayouts.
+            mxu_taps = sdtype != jnp.float32
 
     use_vbuf = se is not None and ws > 1
     x3 = x.reshape(n * t_len * h_len, w_len, c)
@@ -387,9 +395,9 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         kernel_fn = _kernel_no_se
     kernel = functools.partial(
         kernel_fn,
-        nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k, ws=ws,
-        wp=wp, wc=wc, kp=kp, off=off, tp=tp, hp=hp, wche=wche, wph=wph,
-        out_dtype=x.dtype, mxu_taps=mxu_taps,
+        nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
+        taps_n=taps_n, ws=ws, wp=wp, wc=wc, kp=kp, off=off, tp=tp, hp=hp,
+        wche=wche, wph=wph, out_dtype=x.dtype, mxu_taps=mxu_taps,
     )
     in_specs = [
         pl.BlockSpec(

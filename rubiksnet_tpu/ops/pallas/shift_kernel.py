@@ -30,12 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..conv_backend import _shift_kernel
 from .fused_block import (
-    _PER_FRAME_ROWS,
     _VMEM_BUDGET,
     _VMEM_LIMIT_CAP,
     _geometry,
     _round_up,
 )
+
+# Shapes too large for the whole-clip schedule fall back to other backends
+# (an unrolled per-frame fori hangs this runtime's Mosaic; see
+# fused_frames.py for the grid-phase alternative). Kept as a local toggle
+# for interpret-mode coverage of the per-frame schedule.
+_PER_FRAME_ROWS = 1 << 30
 
 
 def _shift_vmem_bytes(shape, max_shift, dtype, group) -> int:

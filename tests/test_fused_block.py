@@ -106,23 +106,6 @@ def test_fused_block_batch_independence():
     )
 
 
-def test_fused_block_per_frame_schedule(monkeypatch):
-    """The per-frame schedule (parked on TPU: Mosaic compile hang — see
-    fused_block.py) must stay numerically correct in interpret mode."""
-    import rubiksnet_tpu.ops.pallas.fused_block as fb
-
-    monkeypatch.setattr(fb, "_PER_FRAME_ROWS", 1)
-    c, max_shift = 128, 1
-    params, stats = _make_blocks(jax.random.PRNGKey(7), 2, c, 0.9)
-    x = jax.random.normal(jax.random.PRNGKey(8), (2, 3, 6, 6, c), jnp.float32)
-    vt, wm = fb.stack_block_params(params, stats, x.dtype, max_shift)
-    got = fb.fused_block_run(x, vt, wm, max_shift=max_shift)
-    want = _unfused(params, stats, x, "conv", max_shift)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
-    )
-
-
 @pytest.mark.parametrize("c,max_shift", [(128, 1), (72, 2)])
 def test_fused_block_mxu_taps_equivalence(c, max_shift):
     """The MXU tap folding (T/H taps as scaled conv3 matmuls) must agree
@@ -208,3 +191,33 @@ def test_fused_block_htiled_matches_whole():
                 np.asarray(tiled), np.asarray(whole), rtol=1e-5, atol=1e-5,
                 err_msg=f"nb={nb} tile_h={tile_h}",
             )
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_fused_block_boundary_shifts(quantize):
+    """Shifts exactly at the +-K bound and at integer crossings: the tap at
+    offset K+1 is trimmed from the stacked params (identically zero for
+    |s| <= K), so the boundary values must still match the unfused chain."""
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(9), 1, c, 0.9)
+    edge = np.resize(
+        np.array([-1.0, -0.5, 0.0, 0.5, 1.0, 0.999, -0.999], np.float32), c
+    )
+    params[0]["as3"]["rubiks3d"]["shift"] = jnp.stack(
+        [jnp.asarray(edge), jnp.asarray(-edge), jnp.asarray(edge)]
+    )
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 6, 6, c), jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift,
+                                quantize=quantize)
+    assert vt.shape[1] == 4 + 3 * (2 * max_shift + 1)  # trimmed layout
+    got = fused_block_run(x, vt, wm, max_shift=max_shift)
+    block = RubiksShiftBlock(
+        in_planes=c, out_planes=c, stride=1, shift_backend="conv",
+        shift_max_shift=max_shift, dtype=x.dtype, quantize=quantize,
+    )
+    want = block.apply(
+        {"params": params[0], "batch_stats": stats[0]}, x, False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
