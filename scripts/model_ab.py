@@ -35,7 +35,7 @@ def main():
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--configs", default="ws1,off",
-                   help="comma subset of {ws1,all,off}")
+                   help="comma subset of {ws1,all,off,mxu1,mxu0}")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -65,17 +65,25 @@ def main():
         device,
     )
 
-    def forward_with(frames_flag, max_ws):
-        # The env vars are read at trace time inside fused_infer_apply;
-        # freeze them into this closure by setting them at every trace.
+    def forward_with(frames_flag, max_ws, mxu):
+        # The env vars are read at trace time inside fused_infer_apply /
+        # the fused kernels; freeze them into this closure by setting them
+        # at every trace.
         def fn(v):
             os.environ["RUBIKS_FUSED_FRAMES"] = frames_flag
             os.environ["RUBIKS_FUSED_FRAMES_MAX_WS"] = max_ws
+            os.environ["RUBIKS_FUSED_MXU_TAPS"] = mxu
             return fused_infer_apply(bundle.model, variables, v)
 
         return fn
 
-    env = {"ws1": ("1", "1"), "all": ("1", "99"), "off": ("0", "1")}
+    env = {
+        "ws1": ("1", "1", "auto"),   # executor defaults
+        "all": ("1", "99", "auto"),  # frames kernel everywhere it fits
+        "off": ("0", "1", "auto"),   # early stages unfused (round-2)
+        "mxu1": ("1", "1", "1"),     # force MXU tap fold everywhere
+        "mxu0": ("1", "1", "0"),     # force VPU taps everywhere
+    }
     configs = {k: forward_with(*v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
     # Mirrored order: each config timed twice, to cancel drift.
@@ -84,6 +92,7 @@ def main():
     for label in order:
         os.environ["RUBIKS_FUSED_FRAMES"] = env[label][0]
         os.environ["RUBIKS_FUSED_FRAMES_MAX_WS"] = env[label][1]
+        os.environ["RUBIKS_FUSED_MXU_TAPS"] = env[label][2]
         dt = time_chained(
             configs[label], video, n_lo=1, n_hi=args.iters, repeats=2
         )
