@@ -108,6 +108,9 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     # the unfused conv chain.
     use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "1") == "1"
     frames_max_ws = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_WS", "1"))
+    # H-chunked ws=1 plans (stage0's shape) are gated separately until the
+    # on-chip A/B says they beat the unfused chain.
+    frames_max_hs = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_HS", "1"))
 
     def fusable(name, cin, cout, stride, shape):
         if not (stride == 1 and cin == cout
@@ -126,7 +129,8 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
             return False
         plan = pick_frames_plan(shape, model.shift_max_shift, dtype,
                                 se=use_se)
-        return plan is not None and plan[1] <= frames_max_ws
+        return (plan is not None and plan[1] <= frames_max_ws
+                and plan[2] <= frames_max_hs)
 
     i = 0
     while i < len(plan):

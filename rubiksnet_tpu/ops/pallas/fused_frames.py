@@ -98,7 +98,7 @@ def _ws_geometry(t, h, w, c, k, dtype, sdtype, ws):
     return wp, wc, kp, off, tp, hp, wche, wph
 
 
-def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se) -> int:
+def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se, hs=1) -> int:
     n, t, h, w, c = shape
     k = max_shift
     wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
@@ -111,12 +111,17 @@ def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se) -> int:
     io = 4 * h * wp * cp * itemsize  # double-buffered per-frame in + out
     weights = 4 * cp * cp * itemsize
     vbuf = h * wp * cp * 4 if (se and ws > 1) else 0
-    # Phases are disjoint @pl.when branches; budget phase B's halo slice +
-    # tap accumulator plus phase C's two-stage tap pyramid (the two largest,
-    # which can coexist across Mosaic's scheduling windows).
-    temps = (2 * hp * wche * cp * 4
-             + 2 * hp * wc * cp * 4 + 2 * h * wc * cp * 4)
-    return acc + cbuf + io + weights + vbuf + temps
+    # Phases are disjoint @pl.when branches; budget each phase's largest
+    # temporaries (they can coexist across Mosaic's scheduling windows).
+    # Phase B/C temporaries shrink with the H-chunk count `hs` (rows are the
+    # untiled major dim, so chunking them costs no alignment padding).
+    hpc = -(-hp // hs)
+    hc = -(-h // hs)
+    a_temps = h * wp * cp * (4 + 2 * itemsize)  # bm f32 + a/cm compute dtype
+    b_temps = 2 * hpc * wche * cp * 4
+    c_temps = (2 * (hc + 2 * k + 1) * wc * cp * 4
+               + 2 * hc * wc * cp * 4)
+    return acc + cbuf + io + weights + vbuf + a_temps + b_temps + c_temps
 
 
 def _ws_candidates(w, dtype):
@@ -130,20 +135,36 @@ def _ws_candidates(w, dtype):
     return out
 
 
-def pick_frames_plan(shape, max_shift, dtype, se=False):
-    """(scratch dtype, W splits) for the per-frame schedule, or None.
+# H-chunk candidates for ws=1 plans: rows are the untiled major dim, so any
+# chunk count works; small counts keep per-chunk ops large.
+_HS_CANDIDATES = (1, 2, 4, 8, 16)
 
-    Prefers the fewest splits, then f32 scratch (exact tap math, no
-    conversions) over the compute dtype."""
+
+def pick_frames_plan(shape, max_shift, dtype, se=False):
+    """(scratch dtype, W splits, H chunks) for the per-frame schedule, or
+    None.
+
+    Preference order: no W splits with the fewest H chunks (H chunking has
+    no alignment cost and keeps whole-frame-width matmuls; W splits
+    multiply small-matmul issue count), f32 scratch before the compute
+    dtype (exact tap math, no conversions), then the legacy W-split plans.
+    """
     if jnp.dtype(dtype).itemsize >= 4:
         sdtypes = [dtype]
     else:
         sdtypes = [jnp.float32, dtype]
+    for sd in sdtypes:
+        for hs in _HS_CANDIDATES:
+            if _plan_vmem_bytes(shape, max_shift, dtype, sd, 1, se,
+                                hs=hs) <= _FRAMES_VMEM_BUDGET:
+                return sd, 1, hs
     for ws in _ws_candidates(shape[3], dtype):
+        if ws == 1:
+            continue
         for sd in sdtypes:
             if _plan_vmem_bytes(shape, max_shift, dtype, sd, ws,
                                 se) <= _FRAMES_VMEM_BUDGET:
-                return sd, ws
+                return sd, ws, 1
     return None
 
 
@@ -169,8 +190,8 @@ def fused_frames_supported(shape, max_shift, dtype, aq=False,
 
 def _kernel(
     x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, vbuf,
-    *, nb, t_len, h_len, w_len, c, k, taps_n, ws, wp, wc, kp, off, tp, hp,
-    wche, wph, out_dtype, mxu_taps=True,
+    *, nb, t_len, h_len, w_len, c, k, taps_n, ws, hs, wp, wc, kp, off, tp,
+    hp, wche, wph, out_dtype, mxu_taps=True,
 ):
     b = pl.program_id(1)
     s = pl.program_id(2)
@@ -241,29 +262,42 @@ def _kernel(
     @pl.when(jnp.logical_and(s >= t_len, s < 2 * t_len))
     def _phase_b():
         fbase = (s - t_len + k) * hp
+        # W taps never mix rows, so H chunks (row ranges of the halo frame,
+        # major-dim slices: no alignment constraints) bound the f32
+        # temporaries without W splitting.
+        hpc = -(-hp // hs)
         for wi in range(ws):
             cs = wi * wc
-            # Whole halo slice loaded, taps sliced from the f32 VALUE
-            # (bf16 value slices at odd sublane offsets miscompile).
-            cc = cbuf[pl.ds(fbase, hp), cs:cs + wche, :].astype(f32)
-            wv = None
-            for j in range(taps_n):
-                term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(1, 1, c) * (
-                    cc[:, off + j : off + j + wc, :]
-                )
-                wv = term if wv is None else wv + term
-            # In-place: split wi writes [cs, cs+wc); its own reads came from
-            # the value above, and later splits read >= cs + wc + off.
-            cbuf[pl.ds(fbase, hp), cs:cs + wc, :] = wv.astype(cbuf.dtype)
+            for hi in range(hs):
+                r0 = hi * hpc
+                rn = min(hpc, hp - r0)
+                if rn <= 0:
+                    break
+                # Halo slice loaded whole, taps sliced from the f32 VALUE
+                # (bf16 value slices at odd sublane offsets miscompile).
+                cc = cbuf[pl.ds(fbase + r0, rn), cs:cs + wche, :].astype(f32)
+                wv = None
+                for j in range(taps_n):
+                    term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(
+                        1, 1, c) * cc[:, off + j : off + j + wc, :]
+                    wv = term if wv is None else wv + term
+                # In-place: split wi writes [cs, cs+wc); its own reads came
+                # from the value above, and later splits read
+                # >= cs + wc + off.
+                cbuf[pl.ds(fbase + r0, rn), cs:cs + wc, :] = wv.astype(
+                    cbuf.dtype)
 
     @pl.when(s >= 2 * t_len)
     def _phase_c():
         t = s - 2 * t_len
         rows = pl.ds(t * h_len, h_len)
 
-        def compute_v(wi):
-            """T/H taps for split wi: (h_len, wc, c) f32."""
+        def compute_v(wi, r0, rn):
+            """T/H taps for split wi, output rows [r0, r0+rn): (rn, wc, c)
+            f32. Needs u rows [r0, r0 + rn + taps_n - 1) of each tap frame
+            (row/major-dim slices: no alignment constraints)."""
             cs = wi * wc
+            un = rn + taps_n - 1
             if mxu_taps:
                 eye = (
                     jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
@@ -274,65 +308,86 @@ def _kernel(
                     d = (eye * vt_ref[0, 4 + l, :].reshape(1, c)).astype(
                         acc.dtype
                     )
-                    u_l = cbuf[pl.ds((t + l) * hp, hp), cs:cs + wc, :].astype(
-                        acc.dtype
-                    )
-                    term = jnp.dot(u_l.reshape(hp * wc, c), d,
+                    u_l = cbuf[pl.ds((t + l) * hp + r0, un),
+                               cs:cs + wc, :].astype(acc.dtype)
+                    term = jnp.dot(u_l.reshape(un * wc, c), d,
                                    preferred_element_type=f32)
                     u_acc = term if u_acc is None else u_acc + term
-                u1 = u_acc.reshape(hp, wc, c).astype(acc.dtype)
+                u1 = u_acc.reshape(un, wc, c).astype(acc.dtype)
                 v_acc = None
                 for j in range(taps_n):
                     d = (eye * vt_ref[0, 4 + taps_n + j, :].reshape(1, c)
                          ).astype(acc.dtype)
                     term = jnp.dot(
-                        u1[j : j + h_len].reshape(h_len * wc, c), d,
+                        u1[j : j + rn].reshape(rn * wc, c), d,
                         preferred_element_type=f32,
                     )
                     v_acc = term if v_acc is None else v_acc + term
-                return v_acc.reshape(h_len, wc, c)
+                return v_acc.reshape(rn, wc, c)
             u = None
             for l in range(taps_n):
                 term = vt_ref[0, 4 + l, :].reshape(1, 1, c) * (
-                    cbuf[pl.ds((t + l) * hp, hp), cs:cs + wc, :].astype(f32)
+                    cbuf[pl.ds((t + l) * hp + r0, un),
+                         cs:cs + wc, :].astype(f32)
                 )
                 u = term if u is None else u + term
             v = None
             for j in range(taps_n):
                 term = vt_ref[0, 4 + taps_n + j, :].reshape(1, 1, c) * (
-                    u[j : j + h_len]
+                    u[j : j + rn]
                 )
                 v = term if v is None else v + term
             return v
 
-        def finish(wi, v, gate):
+        def finish(wi, r0, v, gate):
             cs = wi * wc
+            rn = v.shape[0]
             if gate is not None:
                 v = v * gate.reshape(1, 1, c)
-            e = jnp.dot(v.astype(acc.dtype).reshape(h_len * wc, c), w3,
+            e = jnp.dot(v.astype(acc.dtype).reshape(rn * wc, c), w3,
                         preferred_element_type=f32)
-            new = acc[rows, cs:cs + wc, :] + e.reshape(
-                h_len, wc, c).astype(acc.dtype)
-            acc[rows, cs:cs + wc, :] = new
+            new = acc[pl.ds(t * h_len + r0, rn), cs:cs + wc, :] + e.reshape(
+                rn, wc, c).astype(acc.dtype)
+            acc[pl.ds(t * h_len + r0, rn), cs:cs + wc, :] = new
             wcv = min(wc, w_len - cs)
             if wcv > 0:
                 @pl.when(b == nb - 1)
                 def _out():
-                    out_ref[:, cs:cs + wcv, :] = new[:, :wcv, :].astype(
-                        out_dtype)
+                    out_ref[pl.ds(r0, rn), cs:cs + wcv, :] = (
+                        new[:, :wcv, :].astype(out_dtype))
+
+        hc = -(-h_len // hs)
+        chunks = []
+        for hi in range(hs):
+            r0 = hi * hc
+            if r0 < h_len:
+                chunks.append((r0, min(hc, h_len - r0)))
 
         inv_hw = 1.0 / (h_len * w_len)
         if se_ref is None:
             for wi in range(ws):
-                finish(wi, compute_v(wi), None)
-        elif ws == 1:
-            v = compute_v(0)
+                for r0, rn in chunks:
+                    finish(wi, r0, compute_v(wi, r0, rn), None)
+        elif ws == 1 and hs == 1:
+            v = compute_v(0, 0, h_len)
             m = jnp.sum(v[:, :w_len, :], axis=(0, 1)).reshape(1, c) * inv_hw
-            finish(0, v, gate_from_mean(m))
+            finish(0, 0, v, gate_from_mean(m))
+        elif hs > 1:
+            # SE gate needs the full-frame mean of the shifted activation;
+            # with H chunks the taps are computed twice (mean pass + gated
+            # pass) instead of staging a frame-sized f32 buffer.
+            ssum = None
+            for r0, rn in chunks:
+                part = jnp.sum(
+                    compute_v(0, r0, rn)[:, :w_len, :], axis=(0, 1))
+                ssum = part if ssum is None else ssum + part
+            gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
+            for r0, rn in chunks:
+                finish(0, r0, compute_v(0, r0, rn), gate)
         else:
             ssum = None
             for wi in range(ws):
-                v = compute_v(wi)
+                v = compute_v(wi, 0, h_len)
                 vbuf[:, wi * wc : wi * wc + wc, :] = v
                 wcv = min(wc, w_len - wi * wc)
                 if wcv > 0:
@@ -340,7 +395,7 @@ def _kernel(
                     ssum = part if ssum is None else ssum + part
             gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
             for wi in range(ws):
-                finish(wi, vbuf[:, wi * wc : wi * wc + wc, :], gate)
+                finish(wi, 0, vbuf[:, wi * wc : wi * wc + wc, :], gate)
 
 
 def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, **kw):
@@ -352,21 +407,27 @@ def _kernel_se_ws1(x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, **kw):
 
 
 def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
-                     interpret=None, ws=None):
+                     interpret=None, ws=None, hs=None):
     """Apply a chain of B fused blocks, one frame per grid step.
 
     Same contract as fused_block.fused_block_run (minus AQ/group): x is
     (N, T, H, W, C); vt/wm/se as produced by stack_block_params /
-    stack_se_params. Returns (N, T, H, W, C). `ws` overrides the picked
-    W-split count (testing only).
+    stack_se_params. Returns (N, T, H, W, C). `ws`/`hs` override the picked
+    W-split / H-chunk counts (testing only).
     """
     n, t_len, h_len, w_len, c = x.shape
     nb = vt.shape[0]
     plan = pick_frames_plan(x.shape, max_shift, x.dtype, se=se is not None)
     assert plan is not None, ("shape too large even per frame", x.shape)
-    sdtype, ws_pick = plan
+    sdtype, ws_pick, hs_pick = plan
     if ws is None:
         ws = ws_pick
+        if hs is None:
+            hs = hs_pick
+    if hs is None:
+        hs = 1
+    assert ws == 1 or hs == 1, ("W splits and H chunks are exclusive",
+                                ws, hs)
     k = max_shift
     wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
         t_len, h_len, w_len, c, k, x.dtype, sdtype, ws)
@@ -396,8 +457,8 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
     kernel = functools.partial(
         kernel_fn,
         nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
-        taps_n=taps_n, ws=ws, wp=wp, wc=wc, kp=kp, off=off, tp=tp, hp=hp,
-        wche=wche, wph=wph, out_dtype=x.dtype, mxu_taps=mxu_taps,
+        taps_n=taps_n, ws=ws, hs=hs, wp=wp, wc=wc, kp=kp, off=off, tp=tp,
+        hp=hp, wche=wche, wph=wph, out_dtype=x.dtype, mxu_taps=mxu_taps,
     )
     in_specs = [
         pl.BlockSpec(
@@ -452,7 +513,8 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 max(int(_plan_vmem_bytes(x.shape, max_shift, x.dtype,
-                                         sdtype, ws, se is not None) * 1.1),
+                                         sdtype, ws, se is not None,
+                                         hs=hs) * 1.1),
                     32 * 1024 * 1024),
                 _VMEM_LIMIT_CAP,
             ),

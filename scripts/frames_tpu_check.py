@@ -107,7 +107,7 @@ def main():
             results["checks"][name] = {"error": repr(e)[:500]}
         results["checks"].setdefault(name, {}).update({
             "shape": list(shape),
-            "plan": [str(plan[0]), plan[1]] if plan else None,
+            "plan": [str(plan[0]), plan[1], plan[2]] if plan else None,
             "ws_override": ws, "nerr": err, "ok": ok,
             "seconds": round(time.time() - t0, 1),
         })

@@ -119,15 +119,17 @@ def test_fused_frames_wsplit_se():
 
 
 def test_fused_frames_stage0_plan():
-    """The flagship early stages must have a plan: stage1 unsplit, stage0
-    via W splits (the shape whose f32 temporaries overflow VMEM whole)."""
+    """The flagship early stages must have a plan: stage1 whole-frame,
+    stage0 chunked (the shape whose f32 temporaries overflow VMEM whole)."""
     from rubiksnet_tpu.ops.pallas.fused_frames import pick_frames_plan
 
-    assert pick_frames_plan((64, 8, 56, 56, 72), 1, jnp.bfloat16,
-                            se=True) is not None
+    sd, ws, hs = pick_frames_plan((64, 8, 56, 56, 72), 1, jnp.bfloat16,
+                                  se=True)
+    assert (ws, hs) == (1, 1) and sd == jnp.float32
     plan = pick_frames_plan((64, 8, 112, 112, 72), 1, jnp.bfloat16, se=True)
     assert plan is not None
-    assert plan[1] > 1  # only a split schedule fits 112^2
+    sd, ws, hs = plan
+    assert ws == 1 and hs > 1  # H-chunked, no W splits
 
 
 def test_fused_frames_batch_independence():
@@ -141,4 +143,38 @@ def test_fused_frames_batch_independence():
     solo = fused_frames_run(x[1:2], vt, wm, max_shift=max_shift)
     np.testing.assert_allclose(
         np.asarray(full[1:2]), np.asarray(solo), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("hs,mxu", [(2, False), (3, True), (5, False)])
+def test_fused_frames_h_chunked(hs, mxu):
+    """H-chunked ws=1 schedule (stage0's plan class): row-chunked phases B/C
+    must match the unfused chain, including non-dividing chunk counts."""
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(21), 2, c, 0.9)
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 3, 7, 6, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    got = fused_frames_run(x, vt, wm, max_shift=max_shift, ws=1, hs=hs,
+                           mxu_taps=mxu)
+    want = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_frames_h_chunked_se():
+    """SE with H chunks: the gate mean accumulates across chunks and the
+    taps recompute in the gated pass."""
+    c, max_shift, red = 144, 1, 12
+    params, stats = _make_blocks(jax.random.PRNGKey(23), 2, c, 0.9,
+                                 se_reduction=red)
+    x = jax.random.normal(jax.random.PRNGKey(24), (1, 3, 7, 6, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    se = stack_se_params(params)
+    got = fused_frames_run(x, vt, wm, se, max_shift=max_shift, ws=1, hs=3)
+    want = _unfused(params, stats, x, "conv", max_shift, use_se=red)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )
