@@ -179,8 +179,11 @@ def _kernel(
     def _zero_halo():
         # The halo region of cbuf must read as true zeros (the shift's
         # out-of-bounds fill). It is never written afterwards; the interior
-        # is fully overwritten every step.
+        # is fully overwritten every step. wbuf's temporal halo frames
+        # (below k and above k + t_len) are zeroed once too, so the W-tap
+        # pass only has to process the t_len frames that carry data.
         cbuf[...] = jnp.zeros_like(cbuf)
+        wbuf[...] = jnp.zeros_like(wbuf)
         acc[...] = jnp.zeros_like(acc)
         if aq:
             abuf[...] = jnp.zeros_like(abuf)
@@ -259,9 +262,11 @@ def _kernel(
                  k : k + w_len, :] = c3[t * h_len : (t + 1) * h_len,
                                         :w_len, :]
 
-        # Pass 1.5: W-axis taps, once per halo frame (shared by every output
-        # frame of the temporal taps below).
-        for tt in range(tp):
+        # Pass 1.5: W-axis taps, once per data frame (shared by every output
+        # frame of the temporal taps below). The k halo frames on each side
+        # stay zero from the one-time wbuf zeroing — a zero frame's W taps
+        # are zero, so recomputing them every block was pure waste.
+        for tt in range(k, k + t_len):
             cc = cbuf[pl.ds(cbase + tt * hp, hp)].astype(f32)
             wv = None
             for j in range(taps_n):
