@@ -128,6 +128,12 @@ def main():
             if "g2" in configs and g_auto != 2 and n % 2 == 0:
                 time_one("fused_mxu_g2_ms", lambda xv: fused_block_run(
                     xv, vt, wm, max_shift=k, mxu_taps=True, group=2))
+            if "g1" in configs and g_auto != 1:
+                # group=1 halves the per-step VMEM, which can flip the
+                # scratch dtype to f32 and the auto tap schedule to VPU
+                # (stage2's shape class).
+                time_one("fused_g1_ms", lambda xv: fused_block_run(
+                    xv, vt, wm, max_shift=k, group=1))
         else:
             if "frames" in configs and fused_frames_supported(
                     shape, k, dtype):
