@@ -106,16 +106,52 @@ def main():
     from xprof.convert import raw_to_tool_data as rtd
 
     data, _ = rtd.xspace_to_tool_data([xplane], "hlo_stats", {})
-    if isinstance(data, bytes):
+    if isinstance(data, (bytes, bytearray)):
         data = data.decode("utf-8", "replace")
-    rows = json.loads(data) if data.lstrip().startswith("[") else None
-    if rows is None:
-        # hlo_stats returns JSON-wrapped csv in some versions; dump raw.
-        open("/tmp/xprof_raw.txt", "w").write(data)
-        print("raw tool output at /tmp/xprof_raw.txt (first 2000 chars):")
-        print(data[:2000])
-        return
-    print(json.dumps(rows[:2], indent=1)[:1500])
+    table = json.loads(data)  # google.visualization DataTable
+    cols = [c["label"] for c in table["cols"]]
+    rows = [[cell["v"] if cell else None for cell in r["c"]]
+            for r in table.get("rows", [])]
+    open("/tmp/xprof_hlo_stats.json", "w").write(
+        json.dumps({"cols": cols, "rows": rows}))
+
+    def col(label_frag):
+        for i, label in enumerate(cols):
+            if label_frag.lower() in label.lower():
+                return i
+        return None
+
+    i_time = col("total self time (us)") or col("self time")
+    i_name = col("hlo op name")
+    i_cat = col("category")
+    i_occ = col("occurrences")
+    i_bound = col("bound by")
+    i_bw = col("measured memory bw")
+    i_gflops = col("model gflop")
+    rows.sort(key=lambda r: -(r[i_time] or 0))
+    total = sum(r[i_time] or 0 for r in rows)
+    print(f"\ntotal device self-time: {total/1e3:.2f} ms across "
+          f"{len(rows)} ops; top {args.top}:")
+    for r in rows[:args.top]:
+        t = r[i_time] or 0
+        extras = []
+        if i_bound is not None and r[i_bound]:
+            extras.append(str(r[i_bound]))
+        if i_gflops is not None and r[i_gflops]:
+            extras.append(f"{float(r[i_gflops]):.0f} GF/s")
+        if i_bw is not None and r[i_bw]:
+            extras.append(f"{float(r[i_bw]):.0f} GiB/s")
+        print(f"  {t/1e3:9.3f} ms {100*t/max(total,1e-9):5.1f}%  "
+              f"x{r[i_occ] if i_occ is not None else '?':>4}  "
+              f"[{r[i_cat] if i_cat is not None else '?'}] "
+              f"{str(r[i_name])[:70]} " + " ".join(extras))
+    # Category rollup: where does the time go by op class?
+    agg = {}
+    for r in rows:
+        agg[r[i_cat]] = agg.get(r[i_cat], 0) + (r[i_time] or 0)
+    print("\nby category:")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1]):
+        print(f"  {v/1e3:9.3f} ms {100*v/max(total,1e-9):5.1f}%  {k}")
 
 
 if __name__ == "__main__":
