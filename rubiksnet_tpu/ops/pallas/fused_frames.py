@@ -98,7 +98,8 @@ def _ws_geometry(t, h, w, c, k, dtype, sdtype, ws):
     return wp, wc, kp, off, tp, hp, wche, wph
 
 
-def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se, hs=1) -> int:
+def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se, hs=1,
+                     g=1) -> int:
     n, t, h, w, c = shape
     k = max_shift
     wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
@@ -106,15 +107,17 @@ def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se, hs=1) -> int:
     itemsize = jnp.dtype(dtype).itemsize
     sitem = jnp.dtype(sdtype).itemsize
     cp = _round_up(c, 128)
-    acc = t * h * wp * cp * itemsize
-    cbuf = tp * hp * wph * cp * sitem
-    io = 4 * h * wp * cp * itemsize  # double-buffered per-frame in + out
+    acc = g * t * h * wp * cp * itemsize
+    cbuf = g * tp * hp * wph * cp * sitem
+    io = 4 * g * h * wp * cp * itemsize  # double-buffered per-frame in + out
     weights = 4 * cp * cp * itemsize
-    vbuf = h * wp * cp * 4 if (se and ws > 1) else 0
+    vbuf = g * h * wp * cp * 4 if (se and ws > 1) else 0
     # Phases are disjoint @pl.when branches; budget each phase's largest
     # temporaries (they can coexist across Mosaic's scheduling windows).
     # Phase B/C temporaries shrink with the H-chunk count `hs` (rows are the
-    # untiled major dim, so chunking them costs no alignment padding).
+    # untiled major dim, so chunking them costs no alignment padding). The
+    # clip loop is a fori_loop, so temporaries stay one clip's worth
+    # regardless of the group size.
     hpc = -(-hp // hs)
     hc = -(-h // hs)
     a_temps = h * wp * cp * (4 + 2 * itemsize)  # bm f32 + a/cm compute dtype
@@ -122,6 +125,25 @@ def _plan_vmem_bytes(shape, max_shift, dtype, sdtype, ws, se, hs=1) -> int:
     c_temps = (2 * (hc + 2 * k + 1) * wc * cp * 4
                + 2 * hc * wc * cp * 4)
     return acc + cbuf + io + weights + vbuf + a_temps + b_temps + c_temps
+
+
+def pick_frames_group(shape, max_shift, dtype, sdtype, ws, hs, se) -> int:
+    """Clips per grid step: largest power-of-two divisor of N (<= the
+    RUBIKS_FUSED_GROUP cap, default 8) whose buffers fit VMEM.
+
+    Grouping amortizes the fixed per-grid-step cost (~10us on v5e; see
+    fused_block.pick_group) — the ungrouped schedule runs N * B * 3T tiny
+    steps (3072 for Large stage1 at bs64), which dominates its runtime."""
+    n = shape[0]
+    gmax = int(os.environ.get("RUBIKS_FUSED_GROUP", "8"))
+    g = 1 << (max(min(gmax, n), 1).bit_length() - 1)
+    while g > 1:
+        if n % g == 0 and _plan_vmem_bytes(
+                shape, max_shift, dtype, sdtype, ws, se, hs=hs,
+                g=g) <= _FRAMES_VMEM_BUDGET:
+            return g
+        g //= 2
+    return 1
 
 
 def _ws_candidates(w, dtype):
@@ -190,14 +212,22 @@ def fused_frames_supported(shape, max_shift, dtype, aq=False,
 
 def _kernel(
     x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, vbuf,
-    *, nb, t_len, h_len, w_len, c, k, taps_n, ws, hs, wp, wc, kp, off, tp,
-    hp, wche, wph, out_dtype, mxu_taps=True,
+    *, g_len, nb, t_len, h_len, w_len, c, k, taps_n, ws, hs, wp, wc, kp, off,
+    tp, hp, wche, wph, out_dtype, mxu_taps=True,
 ):
     b = pl.program_id(1)
     s = pl.program_id(2)
     f32 = jnp.float32
+    th = t_len * h_len
+    fhp = tp * hp  # halo rows per clip
     first = jnp.logical_and(pl.program_id(0) == 0,
                             jnp.logical_and(b == 0, s == 0))
+
+    def each_clip(body):
+        # Clips of the group iterate via fori_loop (dynamic row bases into
+        # the flattened rank-3 scratch), so the compiled phase body stays one
+        # clip's worth of code regardless of the group size.
+        jax.lax.fori_loop(0, g_len, lambda gi, _: (body(gi), 0)[1], 0)
 
     @pl.when(first)
     def _zero():
@@ -233,71 +263,82 @@ def _kernel(
 
     @pl.when(s < t_len)
     def _phase_a():
-        rows = pl.ds(s * h_len, h_len)
-
         @pl.when(b == 0)
         def _load():
-            if wp > w_len:
-                acc[rows, w_len:wp, :] = jnp.zeros(
-                    (h_len, wp - w_len, c), acc.dtype
-                )
-            acc[rows, 0:w_len, :] = x_ref[...].astype(acc.dtype)
+            def load_clip(gi):
+                rows = pl.ds(gi * th + s * h_len, h_len)
+                if wp > w_len:
+                    acc[rows, w_len:wp, :] = jnp.zeros(
+                        (h_len, wp - w_len, c), acc.dtype
+                    )
+                acc[rows, 0:w_len, :] = x_ref[gi].astype(acc.dtype)
 
-        fbase = (k + s) * hp
-        # Fresh zero borders every block: the previous block's in-place
-        # W-taps (phase B) left non-zero values outside the interior.
-        cbuf[pl.ds(fbase, hp)] = jnp.zeros((hp, wph, c), cbuf.dtype)
-        for wi in range(ws):
-            cs = wi * wc
-            a = jnp.maximum(acc[rows, cs:cs + wc, :] * bn1_s + bn1_b, 0)
-            bm = jnp.dot(a.reshape(h_len * wc, c), w2,
-                         preferred_element_type=f32)
-            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
-            wcv = min(wc, w_len - cs)
-            if wcv > 0:
-                cbuf[pl.ds(fbase + k, h_len),
-                     kp + cs : kp + cs + wcv, :] = cm.reshape(
-                         h_len, wc, c)[:, :wcv, :]
+            each_clip(load_clip)
+
+        def a_clip(gi):
+            rows = pl.ds(gi * th + s * h_len, h_len)
+            fbase = gi * fhp + (k + s) * hp
+            # Fresh zero borders every block: the previous block's in-place
+            # W-taps (phase B) left non-zero values outside the interior.
+            cbuf[pl.ds(fbase, hp)] = jnp.zeros((hp, wph, c), cbuf.dtype)
+            for wi in range(ws):
+                cs = wi * wc
+                a = jnp.maximum(acc[rows, cs:cs + wc, :] * bn1_s + bn1_b, 0)
+                bm = jnp.dot(a.reshape(h_len * wc, c), w2,
+                             preferred_element_type=f32)
+                cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
+                wcv = min(wc, w_len - cs)
+                if wcv > 0:
+                    cbuf[pl.ds(fbase + k, h_len),
+                         kp + cs : kp + cs + wcv, :] = cm.reshape(
+                             h_len, wc, c)[:, :wcv, :]
+
+        each_clip(a_clip)
 
     @pl.when(jnp.logical_and(s >= t_len, s < 2 * t_len))
     def _phase_b():
-        fbase = (s - t_len + k) * hp
-        # W taps never mix rows, so H chunks (row ranges of the halo frame,
-        # major-dim slices: no alignment constraints) bound the f32
-        # temporaries without W splitting.
-        hpc = -(-hp // hs)
-        for wi in range(ws):
-            cs = wi * wc
-            for hi in range(hs):
-                r0 = hi * hpc
-                rn = min(hpc, hp - r0)
-                if rn <= 0:
-                    break
-                # Halo slice loaded whole, taps sliced from the f32 VALUE
-                # (bf16 value slices at odd sublane offsets miscompile).
-                cc = cbuf[pl.ds(fbase + r0, rn), cs:cs + wche, :].astype(f32)
-                wv = None
-                for j in range(taps_n):
-                    term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(
-                        1, 1, c) * cc[:, off + j : off + j + wc, :]
-                    wv = term if wv is None else wv + term
-                # In-place: split wi writes [cs, cs+wc); its own reads came
-                # from the value above, and later splits read
-                # >= cs + wc + off.
-                cbuf[pl.ds(fbase + r0, rn), cs:cs + wc, :] = wv.astype(
-                    cbuf.dtype)
+        def b_clip(gi):
+            fbase = gi * fhp + (s - t_len + k) * hp
+            # W taps never mix rows, so H chunks (row ranges of the halo
+            # frame, major-dim slices: no alignment constraints) bound the
+            # f32 temporaries without W splitting.
+            hpc = -(-hp // hs)
+            for wi in range(ws):
+                cs = wi * wc
+                for hi in range(hs):
+                    r0 = hi * hpc
+                    rn = min(hpc, hp - r0)
+                    if rn <= 0:
+                        break
+                    # Halo slice loaded whole, taps sliced from the f32
+                    # VALUE (bf16 value slices at odd sublane offsets
+                    # miscompile).
+                    cc = cbuf[pl.ds(fbase + r0, rn),
+                              cs:cs + wche, :].astype(f32)
+                    wv = None
+                    for j in range(taps_n):
+                        term = vt_ref[0, 4 + 2 * taps_n + j, :].reshape(
+                            1, 1, c) * cc[:, off + j : off + j + wc, :]
+                        wv = term if wv is None else wv + term
+                    # In-place: split wi writes [cs, cs+wc); its own reads
+                    # came from the value above, and later splits read
+                    # >= cs + wc + off.
+                    cbuf[pl.ds(fbase + r0, rn), cs:cs + wc, :] = wv.astype(
+                        cbuf.dtype)
+
+        each_clip(b_clip)
 
     @pl.when(s >= 2 * t_len)
     def _phase_c():
         t = s - 2 * t_len
-        rows = pl.ds(t * h_len, h_len)
 
-        def compute_v(wi, r0, rn):
-            """T/H taps for split wi, output rows [r0, r0+rn): (rn, wc, c)
-            f32. Needs u rows [r0, r0 + rn + taps_n - 1) of each tap frame
-            (row/major-dim slices: no alignment constraints)."""
+        def compute_v(gi, wi, r0, rn):
+            """T/H taps for clip gi, split wi, output rows [r0, r0+rn):
+            (rn, wc, c) f32. Needs u rows [r0, r0 + rn + taps_n - 1) of each
+            tap frame (row/major-dim slices: no alignment constraints)."""
             cs = wi * wc
             un = rn + taps_n - 1
+            cbase = gi * fhp
             if mxu_taps:
                 eye = (
                     jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
@@ -308,7 +349,7 @@ def _kernel(
                     d = (eye * vt_ref[0, 4 + l, :].reshape(1, c)).astype(
                         acc.dtype
                     )
-                    u_l = cbuf[pl.ds((t + l) * hp + r0, un),
+                    u_l = cbuf[pl.ds(cbase + (t + l) * hp + r0, un),
                                cs:cs + wc, :].astype(acc.dtype)
                     term = jnp.dot(u_l.reshape(un * wc, c), d,
                                    preferred_element_type=f32)
@@ -327,7 +368,7 @@ def _kernel(
             u = None
             for l in range(taps_n):
                 term = vt_ref[0, 4 + l, :].reshape(1, 1, c) * (
-                    cbuf[pl.ds((t + l) * hp + r0, un),
+                    cbuf[pl.ds(cbase + (t + l) * hp + r0, un),
                          cs:cs + wc, :].astype(f32)
                 )
                 u = term if u is None else u + term
@@ -339,21 +380,22 @@ def _kernel(
                 v = term if v is None else v + term
             return v
 
-        def finish(wi, r0, v, gate):
+        def finish(gi, wi, r0, v, gate):
             cs = wi * wc
             rn = v.shape[0]
             if gate is not None:
                 v = v * gate.reshape(1, 1, c)
             e = jnp.dot(v.astype(acc.dtype).reshape(rn * wc, c), w3,
                         preferred_element_type=f32)
-            new = acc[pl.ds(t * h_len + r0, rn), cs:cs + wc, :] + e.reshape(
+            arows = pl.ds(gi * th + t * h_len + r0, rn)
+            new = acc[arows, cs:cs + wc, :] + e.reshape(
                 rn, wc, c).astype(acc.dtype)
-            acc[pl.ds(t * h_len + r0, rn), cs:cs + wc, :] = new
+            acc[arows, cs:cs + wc, :] = new
             wcv = min(wc, w_len - cs)
             if wcv > 0:
                 @pl.when(b == nb - 1)
                 def _out():
-                    out_ref[pl.ds(r0, rn), cs:cs + wcv, :] = (
+                    out_ref[gi, pl.ds(r0, rn), cs:cs + wcv, :] = (
                         new[:, :wcv, :].astype(out_dtype))
 
         hc = -(-h_len // hs)
@@ -364,38 +406,46 @@ def _kernel(
                 chunks.append((r0, min(hc, h_len - r0)))
 
         inv_hw = 1.0 / (h_len * w_len)
-        if se_ref is None:
-            for wi in range(ws):
+
+        def c_clip(gi):
+            if se_ref is None:
+                for wi in range(ws):
+                    for r0, rn in chunks:
+                        finish(gi, wi, r0, compute_v(gi, wi, r0, rn), None)
+            elif ws == 1 and hs == 1:
+                v = compute_v(gi, 0, 0, h_len)
+                m = jnp.sum(v[:, :w_len, :], axis=(0, 1)).reshape(
+                    1, c) * inv_hw
+                finish(gi, 0, 0, v, gate_from_mean(m))
+            elif hs > 1:
+                # SE gate needs the full-frame mean of the shifted
+                # activation; with H chunks the taps are computed twice
+                # (mean pass + gated pass) instead of staging a frame-sized
+                # f32 buffer.
+                ssum = None
                 for r0, rn in chunks:
-                    finish(wi, r0, compute_v(wi, r0, rn), None)
-        elif ws == 1 and hs == 1:
-            v = compute_v(0, 0, h_len)
-            m = jnp.sum(v[:, :w_len, :], axis=(0, 1)).reshape(1, c) * inv_hw
-            finish(0, 0, v, gate_from_mean(m))
-        elif hs > 1:
-            # SE gate needs the full-frame mean of the shifted activation;
-            # with H chunks the taps are computed twice (mean pass + gated
-            # pass) instead of staging a frame-sized f32 buffer.
-            ssum = None
-            for r0, rn in chunks:
-                part = jnp.sum(
-                    compute_v(0, r0, rn)[:, :w_len, :], axis=(0, 1))
-                ssum = part if ssum is None else ssum + part
-            gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
-            for r0, rn in chunks:
-                finish(0, r0, compute_v(0, r0, rn), gate)
-        else:
-            ssum = None
-            for wi in range(ws):
-                v = compute_v(wi, 0, h_len)
-                vbuf[:, wi * wc : wi * wc + wc, :] = v
-                wcv = min(wc, w_len - wi * wc)
-                if wcv > 0:
-                    part = jnp.sum(v[:, :wcv, :], axis=(0, 1))
+                    part = jnp.sum(
+                        compute_v(gi, 0, r0, rn)[:, :w_len, :], axis=(0, 1))
                     ssum = part if ssum is None else ssum + part
-            gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
-            for wi in range(ws):
-                finish(wi, 0, vbuf[:, wi * wc : wi * wc + wc, :], gate)
+                gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
+                for r0, rn in chunks:
+                    finish(gi, 0, r0, compute_v(gi, 0, r0, rn), gate)
+            else:
+                vrows = pl.ds(gi * h_len, h_len)
+                ssum = None
+                for wi in range(ws):
+                    v = compute_v(gi, wi, 0, h_len)
+                    vbuf[vrows, wi * wc : wi * wc + wc, :] = v
+                    wcv = min(wc, w_len - wi * wc)
+                    if wcv > 0:
+                        part = jnp.sum(v[:, :wcv, :], axis=(0, 1))
+                        ssum = part if ssum is None else ssum + part
+                gate = gate_from_mean(ssum.reshape(1, c) * inv_hw)
+                for wi in range(ws):
+                    finish(gi, wi, 0, vbuf[vrows, wi * wc : wi * wc + wc, :],
+                           gate)
+
+        each_clip(c_clip)
 
 
 def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, **kw):
@@ -407,13 +457,15 @@ def _kernel_se_ws1(x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, **kw):
 
 
 def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
-                     interpret=None, ws=None, hs=None):
-    """Apply a chain of B fused blocks, one frame per grid step.
+                     interpret=None, ws=None, hs=None, group=None):
+    """Apply a chain of B fused blocks, one frame of a clip group per grid
+    step.
 
-    Same contract as fused_block.fused_block_run (minus AQ/group): x is
+    Same contract as fused_block.fused_block_run (minus AQ): x is
     (N, T, H, W, C); vt/wm/se as produced by stack_block_params /
     stack_se_params. Returns (N, T, H, W, C). `ws`/`hs` override the picked
-    W-split / H-chunk counts (testing only).
+    W-split / H-chunk counts (testing only); `group` overrides the picked
+    clips-per-grid-step count.
     """
     n, t_len, h_len, w_len, c = x.shape
     nb = vt.shape[0]
@@ -428,6 +480,10 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         hs = 1
     assert ws == 1 or hs == 1, ("W splits and H chunks are exclusive",
                                 ws, hs)
+    if group is None:
+        group = pick_frames_group(x.shape, max_shift, x.dtype, sdtype, ws,
+                                  hs, se is not None)
+    assert group >= 1 and n % group == 0, (n, group)
     k = max_shift
     wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
         t_len, h_len, w_len, c, k, x.dtype, sdtype, ws)
@@ -447,7 +503,8 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
             mxu_taps = sdtype != jnp.float32
 
     use_vbuf = se is not None and ws > 1
-    x3 = x.reshape(n * t_len * h_len, w_len, c)
+    g = group
+    x4 = x.reshape(n, t_len * h_len, w_len, c)
     if se is not None and not use_vbuf:
         kernel_fn = _kernel_se_ws1
     elif se is not None:
@@ -456,14 +513,14 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         kernel_fn = _kernel_no_se
     kernel = functools.partial(
         kernel_fn,
-        nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
+        g_len=g, nb=nb, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
         taps_n=taps_n, ws=ws, hs=hs, wp=wp, wc=wc, kp=kp, off=off, tp=tp,
         hp=hp, wche=wche, wph=wph, out_dtype=x.dtype, mxu_taps=mxu_taps,
     )
     in_specs = [
         pl.BlockSpec(
-            (h_len, w_len, c),
-            lambda i, b, s: (i * t_len + jnp.minimum(s, t_len - 1), 0, 0),
+            (g, h_len, w_len, c),
+            lambda i, b, s: (i, jnp.minimum(s, t_len - 1), 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec((1, 4 + 3 * taps_n, c), lambda i, b, s: (b, 0, 0),
@@ -471,7 +528,7 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         pl.BlockSpec((1, 2, c, c), lambda i, b, s: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [x3, vt, wm]
+    inputs = [x4, vt, wm]
     if se is not None:
         assert se.ndim == 4 and se.shape[:3] == (nb, 2, c), se.shape
         in_specs.append(
@@ -486,42 +543,42 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         # buffer flushes are of frames that were actually written.
         f = jnp.where(b == nb - 1,
                       jnp.clip(s - 2 * t_len, 0, t_len - 1), 0)
-        return (i * t_len + f, 0, 0)
+        return (i, f, 0, 0)
 
     scratch_shapes = [
-        pltpu.VMEM((t_len * h_len, wp, c), x.dtype),  # clip accumulator
-        pltpu.VMEM((tp * hp, wph, c), sdtype),        # halo buffer
+        pltpu.VMEM((g * t_len * h_len, wp, c), x.dtype),  # clip accumulators
+        pltpu.VMEM((g * tp * hp, wph, c), sdtype),        # halo buffers
     ]
     if use_vbuf:
         # Per-frame shifted activation, staged for the gated conv3 pass.
-        scratch_shapes.append(pltpu.VMEM((h_len, wp, c), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((g * h_len, wp, c), jnp.float32))
 
     n_matmuls = (1 + 2 * taps_n + 1) if mxu_taps else 2
-    flops_per_step = (
+    flops_per_step = g * (
         n_matmuls * 2 * h_len * wp * c * c
         + (1 if mxu_taps else 3) * taps_n * 2 * hp * wph * c
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n, nb, 3 * t_len),
+        grid=(n // g, nb, 3 * t_len),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((h_len, w_len, c), out_index,
+        out_specs=pl.BlockSpec((g, h_len, w_len, c), out_index,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * t_len * h_len, w_len, c),
+        out_shape=jax.ShapeDtypeStruct((n, t_len * h_len, w_len, c),
                                        x.dtype),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 max(int(_plan_vmem_bytes(x.shape, max_shift, x.dtype,
                                          sdtype, ws, se is not None,
-                                         hs=hs) * 1.1),
+                                         hs=hs, g=g) * 1.1),
                     32 * 1024 * 1024),
                 _VMEM_LIMIT_CAP,
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=n * nb * t_len * flops_per_step,
-            bytes_accessed=2 * x3.size * x3.dtype.itemsize
+            flops=(n // g) * nb * t_len * flops_per_step,
+            bytes_accessed=2 * x4.size * x4.dtype.itemsize
             + n * nb * 2 * c * c * jnp.dtype(x.dtype).itemsize,
             transcendentals=0,
         ),

@@ -178,3 +178,41 @@ def test_fused_frames_h_chunked_se():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )
+
+
+@pytest.mark.parametrize("group", [2, 3])
+def test_fused_frames_grouped_matches_ungrouped(group):
+    """Clip grouping (g clips per grid step, fori_loop with dynamic row
+    bases) must be a pure scheduling change."""
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(40), 2, c, 0.9)
+    x = jax.random.normal(jax.random.PRNGKey(41), (group * 2, 3, 5, 6, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    got = fused_frames_run(x, vt, wm, max_shift=max_shift, group=group)
+    want = fused_frames_run(x, vt, wm, max_shift=max_shift, group=1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    ref = _unfused(params, stats, x, "conv", max_shift)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_frames_grouped_se_hs():
+    """Group x SE x H-chunk interaction: per-clip gates must not mix across
+    the group's scratch regions."""
+    c, max_shift, red = 144, 1, 12
+    params, stats = _make_blocks(jax.random.PRNGKey(42), 2, c, 0.9,
+                                 se_reduction=red)
+    x = jax.random.normal(jax.random.PRNGKey(43), (4, 3, 7, 6, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    se = stack_se_params(params)
+    got = fused_frames_run(x, vt, wm, se, max_shift=max_shift, ws=1, hs=3,
+                           group=2)
+    want = _unfused(params, stats, x, "conv", max_shift, use_se=red)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
