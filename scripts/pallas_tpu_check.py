@@ -142,6 +142,82 @@ def main():
         print(f"fused_shift3d {dtype_name}: err={err:.2e} pass={passed}",
               flush=True)
 
+    # --- 2b. strided (s=2) one-pass shift kernel: exercises the f32
+    # strided value slices the entry kernel also relies on ---
+    for dtype_name, dtype, tol in (("float32", jnp.float32, 1e-5),):
+        c = 128
+        x = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 12, 12, c),
+                              dtype)
+        shift = jax.random.uniform(
+            jax.random.PRNGKey(13), (3, c), jnp.float32, -1.0, 1.0)
+        got = jax.jit(lambda x_: rubiks_shift_3d_forward(
+            x_, shift, stride=(1, 2, 2), backend="pallas", max_shift=1))(x)
+        want = jax.jit(lambda x_: rubiks_shift_3d_forward(
+            x_, shift, stride=(1, 2, 2), backend="select", max_shift=1))(x)
+        err = _nerr(got, want)
+        passed = err < tol
+        ok &= passed
+        results["checks"][f"fused_shift3d_s2_{dtype_name}"] = {
+            "max_rel_err": err, "tol": tol, "pass": passed}
+        print(f"fused_shift3d s2 {dtype_name}: err={err:.2e} pass={passed}",
+              flush=True)
+
+    # --- 2c. fused strided entry-block kernel vs the unfused block ---
+    from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
+    from rubiksnet_tpu.ops.pallas.fused_entry import (
+        fused_entry_run, stack_entry_params,
+    )
+
+    for dtype_name, dtype, tol in (("float32", jnp.float32, 1e-4),
+                                   ("bfloat16", jnp.bfloat16, 5e-2)):
+        cin, mid, red = 72, 144, 12
+        key = jax.random.PRNGKey(21)
+        ks = jax.random.split(key, 12)
+        u = lambda k_, shape, lo, hi: jax.random.uniform(
+            k_, shape, jnp.float32, lo, hi)
+        p = {
+            "bn1": {"scale": u(ks[0], (cin,), 0.5, 1.5),
+                    "bias": u(ks[1], (cin,), -0.3, 0.3)},
+            "bn2": {"scale": u(ks[2], (mid,), 0.5, 1.5),
+                    "bias": u(ks[3], (mid,), -0.3, 0.3)},
+            "conv2": {"kernel": jax.random.normal(
+                ks[4], (1, 1, cin, mid)) / np.sqrt(cin)},
+            "conv3": {"kernel": jax.random.normal(
+                ks[5], (1, 1, mid, mid)) / np.sqrt(mid)},
+            "shortcut": {"kernel": jax.random.normal(
+                ks[6], (1, 1, cin, mid)) / np.sqrt(cin)},
+            "as3": {"rubiks3d": {"shift": u(ks[7], (3, mid), -0.9, 0.9)}},
+            "se": {"fc1": {"kernel": jax.random.normal(
+                       ks[8], (mid, mid // red)) / np.sqrt(mid)},
+                   "fc2": {"kernel": jax.random.normal(
+                       ks[9], (mid // red, mid)) / np.sqrt(mid // red)}},
+        }
+        st = {
+            "bn1": {"mean": u(ks[10], (cin,), -0.2, 0.2),
+                    "var": u(ks[10], (cin,), 0.5, 2.0)},
+            "bn2": {"mean": u(ks[11], (mid,), -0.2, 0.2),
+                    "var": u(ks[11], (mid,), 0.5, 2.0)},
+        }
+        x = jax.random.normal(jax.random.PRNGKey(22), (2, 4, 56, 56, cin),
+                              dtype)
+        entry = stack_entry_params(p, st, dtype, 1)
+        se_w = stack_se_params([p])[0]
+        got = jax.jit(lambda x_: fused_entry_run(
+            x_, entry, se_w, max_shift=1))(x)
+        block = RubiksShiftBlock(
+            in_planes=cin, out_planes=mid, stride=2, shift_backend="conv",
+            shift_max_shift=1, dtype=dtype, use_se=red)
+        want = jax.jit(lambda x_: block.apply(
+            {"params": p, "batch_stats": st}, x_, False))(x)
+        err = _nerr(got, want)
+        passed = err < max(tol, 2e-2) if dtype_name == "bfloat16" else (
+            err < tol)
+        ok &= passed
+        results["checks"][f"fused_entry_{dtype_name}"] = {
+            "err_vs_unfused": err, "tol": tol, "pass": passed}
+        print(f"fused_entry {dtype_name}: err={err:.2e} pass={passed}",
+              flush=True)
+
     # --- 3. fused end-to-end Large inference vs regular apply (bf16) ---
     bundle = create_rubiksnet(
         "large", num_classes=174, num_frames=8, input_size=64,
