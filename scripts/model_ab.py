@@ -35,7 +35,8 @@ def main():
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--configs", default="ws1,off",
-                   help="comma subset of {ws1,all,off,mxu1,mxu0}")
+                   help="comma subset of {ws1,all,off,mxu1,mxu0,entry,"
+                        "hs,entryhs}")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -65,24 +66,33 @@ def main():
         device,
     )
 
-    def forward_with(frames_flag, max_ws, mxu):
+    _VARS = ("RUBIKS_FUSED_FRAMES", "RUBIKS_FUSED_FRAMES_MAX_WS",
+             "RUBIKS_FUSED_MXU_TAPS", "RUBIKS_FUSED_ENTRY",
+             "RUBIKS_FUSED_FRAMES_MAX_HS")
+
+    def set_env(vals):
+        for var, val in zip(_VARS, vals):
+            os.environ[var] = val
+
+    def forward_with(*vals):
         # The env vars are read at trace time inside fused_infer_apply /
         # the fused kernels; freeze them into this closure by setting them
         # at every trace.
         def fn(v):
-            os.environ["RUBIKS_FUSED_FRAMES"] = frames_flag
-            os.environ["RUBIKS_FUSED_FRAMES_MAX_WS"] = max_ws
-            os.environ["RUBIKS_FUSED_MXU_TAPS"] = mxu
+            set_env(vals)
             return fused_infer_apply(bundle.model, variables, v)
 
         return fn
 
     env = {
-        "ws1": ("1", "1", "auto"),   # executor defaults
-        "all": ("1", "99", "auto"),  # frames kernel everywhere it fits
-        "off": ("0", "1", "auto"),   # early stages unfused (round-2)
-        "mxu1": ("1", "1", "1"),     # force MXU tap fold everywhere
-        "mxu0": ("1", "1", "0"),     # force VPU taps everywhere
+        "ws1": ("1", "1", "auto", "0", "1"),     # pre-entry defaults
+        "all": ("1", "99", "auto", "0", "1"),    # frames wherever it fits
+        "off": ("0", "1", "auto", "0", "1"),     # early stages unfused (r2)
+        "mxu1": ("1", "1", "1", "0", "1"),       # force MXU tap fold
+        "mxu0": ("1", "1", "0", "0", "1"),       # force VPU taps
+        "entry": ("1", "1", "auto", "1", "1"),   # + fused entry blocks
+        "hs": ("1", "1", "auto", "0", "99"),     # + H-chunked stage0 frames
+        "entryhs": ("1", "1", "auto", "1", "99"),  # entry + stage0 frames
     }
     configs = {k: forward_with(*v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
@@ -90,9 +100,7 @@ def main():
     order = which + which[::-1]
     samples = {k: [] for k in which}
     for label in order:
-        os.environ["RUBIKS_FUSED_FRAMES"] = env[label][0]
-        os.environ["RUBIKS_FUSED_FRAMES_MAX_WS"] = env[label][1]
-        os.environ["RUBIKS_FUSED_MXU_TAPS"] = env[label][2]
+        set_env(env[label])
         dt = time_chained(
             configs[label], video, n_lo=1, n_hi=args.iters, repeats=2
         )
