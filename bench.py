@@ -169,7 +169,7 @@ def main():
                 best, best_bs = results[bs], bs
         metric = (
             f"train clips/sec/chip RubiksNet-{args.tier.capitalize()} "
-            f"{args.frames}-frame {args.size}px {args.backend}-backend"
+            f"{args.frames}-frame {args.size}px {shift_backend}-backend"
         )
         vs = None
     else:
