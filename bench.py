@@ -148,6 +148,7 @@ def main():
         tx = sgd_with_shift_mult(1e-3, 0.1)
         state0 = jax.device_put(create_train_state(bundle, tx), device)
         step = make_train_step(bundle.model, tx)
+        fwd_ratio = {}
         for bs in args.batch_sizes:
             video = make_video(bs, jnp.float32)
             labels = jax.device_put(
@@ -162,6 +163,22 @@ def main():
             except RuntimeError as e:
                 print(f"warning: bs={bs}: {e}", flush=True)
                 continue
+            # Forward-only time of the same train-mode model (same unfused
+            # backend, remat graph not applied on a pure forward), so the
+            # artifact records the train-step : forward ratio — the
+            # backward+update overhead the reference's dedicated backward
+            # kernels existed to bound (cuda_src/rubiks3d_kernels.cu:218-929).
+            try:
+                fwd = lambda v: bundle.model.apply(
+                    {"params": state0.params,
+                     "batch_stats": state0.batch_stats},
+                    v, train=False)
+                dt_fwd = time_chained(
+                    fwd, video, n_lo=args.warmup, n_hi=args.iters, repeats=2
+                )
+                fwd_ratio[bs] = round(dt / dt_fwd, 2)
+            except RuntimeError:
+                pass
             results[bs] = bs / dt
             flops, ba = _cost_analysis(jax.jit(carry_fn), state0)
             util[bs] = _utilization(flops, ba, dt, bs)
@@ -221,6 +238,11 @@ def main():
                     ),
                     "utilization": {str(k): v for k, v in util.items() if v},
                     "device": str(jax.devices()[0]),
+                    **(
+                        {"train_step_over_forward":
+                         {str(k): v for k, v in fwd_ratio.items()}}
+                        if args.mode == "train" else {}
+                    ),
                 },
             }
         )
@@ -237,7 +259,7 @@ def supervise(args):
     import subprocess
     import sys
 
-    merged_results, merged_util = {}, {}
+    merged_results, merged_util, merged_ratio = {}, {}, {}
     metric = vs = device = None
     base_cmd = [
         sys.executable, os.path.abspath(__file__), "--in-process",
@@ -283,6 +305,7 @@ def supervise(args):
         device = out["detail"].get("device")
         merged_results.update(out["detail"]["batch_sweep"])
         merged_util.update(out["detail"].get("utilization", {}))
+        merged_ratio.update(out["detail"].get("train_step_over_forward", {}))
 
     last_good = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_LAST_GOOD.json")
@@ -331,6 +354,8 @@ def supervise(args):
             "suspect_batches": suspect,
             "utilization": merged_util,
             "device": device,
+            **({"train_step_over_forward": merged_ratio}
+               if merged_ratio else {}),
         },
     }
     # Persist the most recent sanity-passing flagship TPU capture as the
