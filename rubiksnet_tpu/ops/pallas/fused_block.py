@@ -167,7 +167,7 @@ def _kernel_no_se(x_ref, vt_ref, wm_ref, out_ref, acc, cbuf, wbuf, abuf,
 def _kernel(
     x_ref, vt_ref, wm_ref, se_ref, out_ref, acc, cbuf, wbuf, abuf,
     *, g_len, t_len, h_len, w_len, c, k, taps_n, wp, tp, hp, wph, out_dtype,
-    aq=False, mxu_taps=False,
+    aq=False, mxu_taps=False, se_batch=False,
 ):
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -227,6 +227,42 @@ def _kernel(
             preferred_element_type=f32,
         )
         return jax.nn.sigmoid(y2)
+
+    def se_conv3_batched(v):
+        """Batched SE + conv3 over the whole clip: one stacked gate matmul
+        pair for all t_len frames and ONE conv3 matmul, instead of per-frame
+        matmuls (t_len small MXU issues per clip per block add up: Large
+        stage3 = 64 clips x 8 frames x 35 blocks of ~200-row matmuls).
+
+        v: (v_len, wp, c) shifted activation (frame t's valid rows at
+        [t*hp, t*hp + h_len)); gates apply to the inter-frame garbage rows
+        too, which is harmless — they are dropped at extraction (the last
+        frame's span is h_len rows, not hp, so the parts sum to v_len)."""
+        ms = [
+            jnp.sum(
+                v[t * hp : t * hp + h_len, :w_len, :], axis=(0, 1)
+            ).reshape(1, c)
+            for t in range(t_len)
+        ]
+        m = jnp.concatenate(ms, axis=0) * (1.0 / (h_len * w_len))
+        y1 = jnp.maximum(
+            jnp.dot(m, se_ref[0, 0], preferred_element_type=f32), 0
+        )
+        y2 = jax.lax.dot_general(
+            y1, se_ref[0, 1],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        gates = jax.nn.sigmoid(y2)  # (t_len, c)
+        parts = [
+            v[t * hp : ((t + 1) * hp if t < t_len - 1 else v_len)]
+            * gates[t].reshape(1, 1, c)
+            for t in range(t_len)
+        ]
+        vg = jnp.concatenate(parts, axis=0).astype(acc.dtype)
+        e = jnp.dot(vg.reshape(v_len * wp, c), w3,
+                    preferred_element_type=f32)
+        return e.reshape(v_len, wp, c).astype(acc.dtype)
 
     def aq_mix(a_full, abase):
         """3-tap attention temporal shift over the activated clip: the
@@ -345,17 +381,23 @@ def _kernel(
                     )
                     v_acc = term if v_acc is None else v_acc + term
                 v3 = v_acc.reshape(v_len, wp, c)
-                for t in range(t_len):
-                    v_t = v3[t * hp : t * hp + h_len]
-                    v_t = v_t * se_gate(v_t).reshape(1, 1, c)
-                    e = jnp.dot(
-                        v_t.astype(acc.dtype).reshape(h_len * wp, c), w3,
-                        preferred_element_type=f32,
-                    )
-                    rows = pl.ds(base + t * h_len, h_len)
-                    acc[rows] = acc[rows] + e.reshape(h_len, wp, c).astype(
-                        acc.dtype
-                    )
+                if se_batch:
+                    e3 = se_conv3_batched(v3)
+                    for t in range(t_len):
+                        rows = pl.ds(base + t * h_len, h_len)
+                        acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+                else:
+                    for t in range(t_len):
+                        v_t = v3[t * hp : t * hp + h_len]
+                        v_t = v_t * se_gate(v_t).reshape(1, 1, c)
+                        e = jnp.dot(
+                            v_t.astype(acc.dtype).reshape(h_len * wp, c), w3,
+                            preferred_element_type=f32,
+                        )
+                        rows = pl.ds(base + t * h_len, h_len)
+                        acc[rows] = acc[rows] + e.reshape(
+                            h_len, wp, c
+                        ).astype(acc.dtype)
         else:
             # Whole-clip big ops: the few inter-frame garbage rows (hp vs h)
             # ride through the matmul and are dropped at extraction.
@@ -379,6 +421,11 @@ def _kernel(
                 e = jnp.dot(v.astype(acc.dtype).reshape(v_len * wp, c), w3,
                             preferred_element_type=f32)
                 e3 = e.reshape(v_len, wp, c).astype(acc.dtype)
+                for t in range(t_len):
+                    rows = pl.ds(base + t * h_len, h_len)
+                    acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
+            elif se_batch:
+                e3 = se_conv3_batched(v)
                 for t in range(t_len):
                     rows = pl.ds(base + t * h_len, h_len)
                     acc[rows] = acc[rows] + e3[t * hp : t * hp + h_len]
@@ -406,7 +453,7 @@ def _kernel(
 
 
 def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
-                    mxu_taps=None, interpret=None):
+                    mxu_taps=None, se_batch=None, interpret=None):
     """Apply a chain of B fused blocks to a clip batch.
 
     Args:
@@ -425,6 +472,9 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         block; with SE the shifted activation is materialized and gated
         before per-frame conv3). Default on; RUBIKS_FUSED_MXU_TAPS=0
         disables for A/B.
+      se_batch: batch the SE gate matmuls over all frames and run conv3 as
+        ONE whole-clip matmul instead of t_len per-frame matmuls
+        (RUBIKS_FUSED_SE_BATCH=0/1; opt-in until measured on-chip).
 
     Returns (N, T, H, W, C), equal to applying the B blocks sequentially.
     """
@@ -458,12 +508,14 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
             # native VPU work and the diagonal matmuls only add MXU load --
             # VPU wins 3.2x (stage3) / 2.3x (stage4).
             mxu_taps = sdtype != jnp.float32
+    if se_batch is None:
+        se_batch = os.environ.get("RUBIKS_FUSED_SE_BATCH", "0") == "1"
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
         g_len=g_len, t_len=t_len, h_len=h_len, w_len=w_len, c=c, k=k,
         taps_n=taps_n, wp=wp, tp=tp, hp=hp, wph=wph, out_dtype=x.dtype,
-        aq=aq, mxu_taps=mxu_taps,
+        aq=aq, mxu_taps=mxu_taps, se_batch=se_batch,
     )
     if mxu_taps:
         # conv2 + (T diag stage) + (H diag/fold stage) + SE's per-frame

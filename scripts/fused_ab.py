@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_blocks(c, nb, max_shift, dtype, seed=0):
+def make_blocks(c, nb, max_shift, dtype, seed=0, se_reduction=None):
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +46,15 @@ def make_blocks(c, nb, max_shift, dtype, seed=0):
                       / (2 * np.sqrt(c))},
             "as3": {"rubiks3d": {"shift": u(ks[6], -1.0, 1.0, (3, c))}},
         })
+        if se_reduction:
+            cr = c // se_reduction
+            key, kse1, kse2 = jax.random.split(key, 3)
+            params[-1]["se"] = {
+                "fc1": {"kernel":
+                        jax.random.normal(kse1, (c, cr)) / np.sqrt(c)},
+                "fc2": {"kernel":
+                        jax.random.normal(kse2, (cr, c)) / np.sqrt(cr)},
+            }
         stats.append({
             "bn1": {"mean": u(ks[7], -0.2, 0.2, (c,)),
                     "var": u(ks[0], 0.5, 2.0, (c,))},
@@ -212,6 +221,20 @@ def main():
                 # (stage2's shape class).
                 time_one("fused_g1_ms", lambda xv: fused_block_run(
                     xv, vt, wm, max_shift=k, group=1))
+            if configs & {"se", "sebatch"}:
+                # SE-bearing blocks (the real Large tier is SE everywhere):
+                # per-frame SE conv3 matmuls vs the batched-gate whole-clip
+                # conv3 schedule.
+                separams, sestats = make_blocks(c, nb, k, dtype, seed=1,
+                                                se_reduction=12)
+                sevt, sewm = stack_block_params(separams, sestats, dtype, k)
+                se_w = stack_se_params(separams)
+                if "se" in configs:
+                    time_one("fused_se_ms", lambda xv: fused_block_run(
+                        xv, sevt, sewm, se_w, max_shift=k, se_batch=False))
+                if "sebatch" in configs:
+                    time_one("fused_sebatch_ms", lambda xv: fused_block_run(
+                        xv, sevt, sewm, se_w, max_shift=k, se_batch=True))
         else:
             if "frames" in configs and fused_frames_supported(
                     shape, k, dtype):

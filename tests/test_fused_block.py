@@ -221,3 +221,30 @@ def test_fused_block_boundary_shifts(quantize):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_fused_block_se_batch_equivalence(mxu):
+    """The batched SE schedule (stacked gate matmuls + one whole-clip conv3)
+    must agree with the per-frame SE schedule and the unfused chain."""
+    from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
+
+    c, max_shift, red = 144, 1, 12
+    params, stats = _make_blocks(
+        jax.random.PRNGKey(21), 2, c, 0.9, se_reduction=red
+    )
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 3, 6, 7, c),
+                          jnp.float32)
+    vt, wm = stack_block_params(params, stats, x.dtype, max_shift)
+    se = stack_se_params(params)
+    batched = fused_block_run(x, vt, wm, se, max_shift=max_shift,
+                              mxu_taps=mxu, se_batch=True)
+    perframe = fused_block_run(x, vt, wm, se, max_shift=max_shift,
+                               mxu_taps=mxu, se_batch=False)
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(perframe), rtol=1e-6, atol=1e-6
+    )
+    want = _unfused(params, stats, x, "conv", max_shift, use_se=red)
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
