@@ -36,7 +36,7 @@ def main():
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--configs", default="ws1,off",
                    help="comma subset of {ws1,all,off,mxu1,mxu0,entry,"
-                        "hs,entryhs}")
+                        "hs,entryhs,sebatch,entrysb}")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -68,7 +68,7 @@ def main():
 
     _VARS = ("RUBIKS_FUSED_FRAMES", "RUBIKS_FUSED_FRAMES_MAX_WS",
              "RUBIKS_FUSED_MXU_TAPS", "RUBIKS_FUSED_ENTRY",
-             "RUBIKS_FUSED_FRAMES_MAX_HS")
+             "RUBIKS_FUSED_FRAMES_MAX_HS", "RUBIKS_FUSED_SE_BATCH")
 
     def set_env(vals):
         for var, val in zip(_VARS, vals):
@@ -85,14 +85,16 @@ def main():
         return fn
 
     env = {
-        "ws1": ("1", "1", "auto", "0", "1"),     # pre-entry defaults
-        "all": ("1", "99", "auto", "0", "1"),    # frames wherever it fits
-        "off": ("0", "1", "auto", "0", "1"),     # early stages unfused (r2)
-        "mxu1": ("1", "1", "1", "0", "1"),       # force MXU tap fold
-        "mxu0": ("1", "1", "0", "0", "1"),       # force VPU taps
-        "entry": ("1", "1", "auto", "1", "1"),   # + fused entry blocks
-        "hs": ("1", "1", "auto", "0", "99"),     # + H-chunked stage0 frames
-        "entryhs": ("1", "1", "auto", "1", "99"),  # entry + stage0 frames
+        "ws1": ("1", "1", "auto", "0", "1", "0"),     # pre-entry defaults
+        "all": ("1", "99", "auto", "0", "1", "0"),    # frames wherever fits
+        "off": ("0", "1", "auto", "0", "1", "0"),     # early unfused (r2)
+        "mxu1": ("1", "1", "1", "0", "1", "0"),       # force MXU tap fold
+        "mxu0": ("1", "1", "0", "0", "1", "0"),       # force VPU taps
+        "entry": ("1", "1", "auto", "1", "1", "0"),   # + fused entry blocks
+        "hs": ("1", "1", "auto", "0", "99", "0"),     # + stage0 frames
+        "entryhs": ("1", "1", "auto", "1", "99", "0"),  # entry + stage0
+        "sebatch": ("1", "1", "auto", "0", "1", "1"),   # ws1 + batched SE
+        "entrysb": ("1", "1", "auto", "1", "1", "1"),   # entry + batched SE
     }
     configs = {k: forward_with(*v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
