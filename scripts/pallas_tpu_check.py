@@ -121,6 +121,56 @@ def main():
         print(f"fused_block {dtype_name}: vs_interpret={err_interp:.2e} "
               f"vs_unfused={err_unfused:.2e} pass={passed}", flush=True)
 
+    # --- 1b. batched-SE schedule vs per-frame SE, compiled on chip ---
+    from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params as _ssp
+
+    for dtype_name, dtype, tol in (("float32", jnp.float32, 1e-4),
+                                   ("bfloat16", jnp.bfloat16, 5e-2)):
+        key = jax.random.PRNGKey(31)
+        c, max_shift, nb, red = 144, 1, 2, 12
+        params, stats = [], []
+        for i in range(nb):
+            key, *ks = jax.random.split(key, 10)
+            u = lambda k_, lo, hi, shape: jax.random.uniform(
+                k_, shape, jnp.float32, lo, hi)
+            params.append({
+                "bn1": {"scale": u(ks[0], 0.5, 1.5, (c,)),
+                        "bias": u(ks[1], -0.3, 0.3, (c,))},
+                "bn2": {"scale": u(ks[2], 0.5, 1.5, (c,)),
+                        "bias": u(ks[3], -0.3, 0.3, (c,))},
+                "conv2": {"kernel":
+                          jax.random.normal(ks[4], (1, 1, c, c)) / np.sqrt(c)},
+                "conv3": {"kernel":
+                          jax.random.normal(ks[5], (1, 1, c, c))
+                          / (2 * np.sqrt(c))},
+                "as3": {"rubiks3d": {"shift": u(ks[6], -0.9, 0.9, (3, c))}},
+                "se": {"fc1": {"kernel": jax.random.normal(
+                           ks[7], (c, c // red)) / np.sqrt(c)},
+                       "fc2": {"kernel": jax.random.normal(
+                           ks[8], (c // red, c)) / np.sqrt(c // red)}},
+            })
+            stats.append({
+                "bn1": {"mean": u(ks[6], -0.2, 0.2, (c,)),
+                        "var": u(ks[0], 0.5, 2.0, (c,))},
+                "bn2": {"mean": u(ks[1], -0.2, 0.2, (c,)),
+                        "var": u(ks[2], 0.5, 2.0, (c,))},
+            })
+        x = jax.random.normal(jax.random.PRNGKey(32), (2, 4, 14, 14, c),
+                              dtype)
+        vt, wm = stack_block_params(params, stats, dtype, max_shift)
+        se_w = _ssp(params)
+        batched = jax.jit(lambda x_: fused_block_run(
+            x_, vt, wm, se_w, max_shift=max_shift, se_batch=True))(x)
+        perframe = jax.jit(lambda x_: fused_block_run(
+            x_, vt, wm, se_w, max_shift=max_shift, se_batch=False))(x)
+        err = _nerr(batched, perframe)
+        passed = err < tol
+        ok &= passed
+        results["checks"][f"fused_block_se_batch_{dtype_name}"] = {
+            "err_vs_perframe": err, "tol": tol, "pass": passed}
+        print(f"fused_block se_batch {dtype_name}: err={err:.2e} "
+              f"pass={passed}", flush=True)
+
     # --- 2. fused one-pass shift kernel vs select backend ---
     # bf16 tol: the kernel computes taps in f32 and rounds once; the select
     # reference rounds per-axis in bf16, so a few percent of std is expected.
