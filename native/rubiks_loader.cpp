@@ -157,32 +157,37 @@ void resize_rgb(const uint8_t* src, int w, int h, uint8_t* dst, int ow,
   }
 }
 
-// Process one frame end to end. Writes (crop_h, crop_w, 3) float32
-// channel-last, normalized as ((v/255) - mean) / std.
-bool process_frame(const char* path, int scale_size, int crop_x, int crop_y,
-                   int crop_w, int crop_h, const float* mean, const float* std_,
-                   float* out) {
-  std::vector<uint8_t> rgb;
+// Decode + (optional) shorter-side resize. On success, *img points either
+// into *rgb or *resized and (*rw, *rh) hold its dims.
+bool decode_resized(const char* path, int scale_size, std::vector<uint8_t>* rgb,
+                    std::vector<uint8_t>* resized, const uint8_t** img,
+                    int* rw, int* rh) {
   int w = 0, h = 0;
-  if (!decode_jpeg_file(path, &rgb, &w, &h)) return false;
-
-  const uint8_t* img = rgb.data();
-  std::vector<uint8_t> resized;
-  int rw = w, rh = h;
+  if (!decode_jpeg_file(path, rgb, &w, &h)) return false;
+  *img = rgb->data();
+  *rw = w;
+  *rh = h;
   if (scale_size > 0 && std::min(w, h) != scale_size) {
     // shorter-side resize (GroupScale semantics, transforms.py:82-95)
     if (w < h) {
-      rw = scale_size;
-      rh = static_cast<int>(static_cast<double>(scale_size) * h / w);
+      *rw = scale_size;
+      *rh = static_cast<int>(static_cast<double>(scale_size) * h / w);
     } else {
-      rh = scale_size;
-      rw = static_cast<int>(static_cast<double>(scale_size) * w / h);
+      *rh = scale_size;
+      *rw = static_cast<int>(static_cast<double>(scale_size) * w / h);
     }
-    resized.resize(static_cast<size_t>(rw) * rh * 3);
-    resize_rgb(rgb.data(), w, h, resized.data(), rw, rh);
-    img = resized.data();
+    resized->resize(static_cast<size_t>(*rw) * *rh * 3);
+    resize_rgb(rgb->data(), w, h, resized->data(), *rw, *rh);
+    *img = resized->data();
   }
+  return true;
+}
 
+// Crop + normalize one window of a resized RGB8 image into float32
+// channel-last: ((v/255) - mean) / std.
+bool write_crop(const uint8_t* img, int rw, int rh, int crop_x, int crop_y,
+                int crop_w, int crop_h, const float* mean, const float* std_,
+                float* out) {
   if (crop_x < 0) crop_x = (rw - crop_w) / 2;  // -1 => center crop
   if (crop_y < 0) crop_y = (rh - crop_h) / 2;
   if (crop_x + crop_w > rw || crop_y + crop_h > rh) return false;
@@ -200,6 +205,20 @@ bool process_frame(const char* path, int scale_size, int crop_x, int crop_y,
     }
   }
   return true;
+}
+
+// Process one frame end to end. Writes (crop_h, crop_w, 3) float32
+// channel-last, normalized as ((v/255) - mean) / std.
+bool process_frame(const char* path, int scale_size, int crop_x, int crop_y,
+                   int crop_w, int crop_h, const float* mean, const float* std_,
+                   float* out) {
+  std::vector<uint8_t> rgb, resized;
+  const uint8_t* img = nullptr;
+  int rw = 0, rh = 0;
+  if (!decode_resized(path, scale_size, &rgb, &resized, &img, &rw, &rh))
+    return false;
+  return write_crop(img, rw, rh, crop_x, crop_y, crop_w, crop_h, mean, std_,
+                    out);
 }
 
 }  // namespace
@@ -237,6 +256,52 @@ int rl_load_frames(const char** paths, int n, int scale_size,
   return failures.load();
 }
 
+// Like rl_load_frames, but each frame is decoded + resized ONCE and then
+// n_crops crop windows are written — the multi-view eval protocols
+// (GroupFullResSample's 3 crops, transforms.py:164-167) crop the same
+// resized frame several times, and re-decoding per crop wastes most of the
+// pipeline. Crop offsets are shared across frames (crop_x/crop_y have
+// n_crops entries; -1 means centered). Frame i's crop c lands at
+// out + c * crop_block_stride + i * frame_stride. Returns failure count.
+int rl_load_frames_mc(const char** paths, int n, int scale_size,
+                      const int* crop_x, const int* crop_y, int n_crops,
+                      int crop_w, int crop_h, const float* mean,
+                      const float* std_, float* out, long frame_stride,
+                      long crop_block_stride, int num_threads) {
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> rgb, resized;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* img = nullptr;
+      int rw = 0, rh = 0;
+      if (!decode_resized(paths[i], scale_size, &rgb, &resized, &img, &rw,
+                          &rh)) {
+        failures.fetch_add(1);
+        continue;
+      }
+      for (int c = 0; c < n_crops; ++c) {
+        if (!write_crop(img, rw, rh, crop_x[c], crop_y[c], crop_w, crop_h,
+                        mean, std_,
+                        out + static_cast<size_t>(c) * crop_block_stride +
+                            static_cast<size_t>(i) * frame_stride)) {
+          failures.fetch_add(1);
+        }
+      }
+    }
+  };
+  int nt = std::max(1, num_threads);
+  if (nt == 1 || n == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < std::min(nt, n); ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return failures.load();
+}
+
 // Decode + resize + crop a single frame (uint8 output, for tests/tools).
 int rl_decode_frame_u8(const char* path, int scale_size, int crop_x,
                        int crop_y, int crop_w, int crop_h, uint8_t* out) {
@@ -253,6 +318,6 @@ int rl_decode_frame_u8(const char* path, int scale_size, int crop_x,
   return 0;
 }
 
-int rl_version() { return 1; }
+int rl_version() { return 2; }
 
 }  // extern "C"

@@ -90,24 +90,29 @@ class NativeEvalDataset:
         sw, sh = _scaled_size(w0, h0, self.scale_size)
 
         if self.two_clips:
+            # decode each frame once, emit all 3 GroupFullResSample crops
+            # (crop-major output order = the PIL pipeline's view order)
             offsets = full_res_offsets(sw, sh, self.crop_size)
-            all_paths, all_offsets = [], []
-            for ox, oy in offsets:
-                all_paths.extend(paths)
-                all_offsets.extend([(ox, oy)] * len(paths))
+            clip = native_loader.load_frames_multicrop(
+                paths,
+                self.scale_size,
+                self.crop_size,
+                self.mean,
+                self.std,
+                crop_offsets=offsets,
+                num_threads=self.num_threads,
+            )
         else:
             ox, oy = center_offset(sw, sh, self.crop_size)
-            all_paths, all_offsets = paths, [(ox, oy)] * len(paths)
-
-        clip = native_loader.load_frames(
-            all_paths,
-            self.scale_size,
-            self.crop_size,
-            self.mean,
-            self.std,
-            crop_offsets=all_offsets,
-            num_threads=self.num_threads,
-        )
+            clip = native_loader.load_frames(
+                paths,
+                self.scale_size,
+                self.crop_size,
+                self.mean,
+                self.std,
+                crop_offsets=[(ox, oy)] * len(paths),
+                num_threads=self.num_threads,
+            )
         return clip, record.label
 
     def __iter__(self):

@@ -29,15 +29,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-s"],
-                cwd=os.path.abspath(_NATIVE_DIR),
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
+    # Always run make: a no-op when the .so is fresh, a rebuild when
+    # rubiks_loader.cpp is newer than a stale committed binary.
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=os.path.abspath(_NATIVE_DIR),
+            check=True,
+            capture_output=True,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -58,6 +60,24 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_long,
         ctypes.c_int,
     ]
+    if hasattr(lib, "rl_load_frames_mc"):
+        lib.rl_load_frames_mc.restype = ctypes.c_int
+        lib.rl_load_frames_mc.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int,
+        ]
     lib.rl_decode_frame_u8.restype = ctypes.c_int
     lib.rl_decode_frame_u8.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -121,6 +141,71 @@ def load_frames(
     )
     if failures:
         raise IOError(f"native loader failed on {failures}/{n} frames")
+    return out
+
+
+def load_frames_multicrop(
+    paths: Sequence[str],
+    scale_size: int,
+    crop_size: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    crop_offsets: Sequence[tuple],
+    num_threads: Optional[int] = None,
+) -> np.ndarray:
+    """Decode each frame once and emit several crops of it.
+
+    The multi-view eval protocols (GroupFullResSample's 3 crops) take
+    multiple windows of the SAME resized frame; this entry point decodes +
+    resizes once per frame instead of once per (frame, crop).
+
+    Args:
+      paths: JPEG file paths (n frames).
+      crop_offsets: (x, y) crop origins shared by all frames (one per crop).
+    Returns:
+      (len(crop_offsets) * len(paths), crop_size, crop_size, 3) float32,
+      ordered crop-major (crop 0's frames, then crop 1's, ...) to match the
+      GroupFullResSample view ordering.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    if not hasattr(lib, "rl_load_frames_mc"):
+        # stale .so without the multicrop entry point: fall back
+        rep_paths = [p for _ in crop_offsets for p in paths]
+        rep_offsets = [o for o in crop_offsets for _ in paths]
+        return load_frames(rep_paths, scale_size, crop_size, mean, std,
+                           crop_offsets=rep_offsets, num_threads=num_threads)
+    n = len(paths)
+    n_crops = len(crop_offsets)
+    out = np.empty((n_crops * n, crop_size, crop_size, 3), np.float32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    xs = np.asarray([o[0] for o in crop_offsets], np.int32)
+    ys = np.asarray([o[1] for o in crop_offsets], np.int32)
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    threads = num_threads if num_threads is not None else (os.cpu_count() or 1)
+    frame_stride = crop_size * crop_size * 3
+    failures = lib.rl_load_frames_mc(
+        c_paths,
+        n,
+        scale_size,
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_crops,
+        crop_size,
+        crop_size,
+        mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frame_stride,
+        n * frame_stride,
+        threads,
+    )
+    if failures:
+        raise IOError(
+            f"native loader failed on {failures}/{n * n_crops} frame-crops"
+        )
     return out
 
 

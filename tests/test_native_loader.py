@@ -59,6 +59,34 @@ def test_explicit_crop_offsets(jpeg):
     assert np.abs(out[0] - out[2]).max() > 0
 
 
+def test_multicrop_matches_per_crop_load(jpeg, tmp_path):
+    """Decode-once multicrop == the per-(frame,crop) path, bit for bit."""
+    arr = (np.random.RandomState(1).rand(240, 320, 3) * 255).astype(np.uint8)
+    second = tmp_path / "g.jpg"
+    Image.fromarray(arr).save(second, quality=95)
+    paths = [jpeg, str(second)]
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    offsets = [(0, 8), (60, 8), (30, 8)]
+    got = native_loader.load_frames_multicrop(
+        paths, 256, 224, mean, std, crop_offsets=offsets
+    )
+    assert got.shape == (6, 224, 224, 3)
+    rep_paths = [p for _ in offsets for p in paths]
+    rep_offsets = [o for o in offsets for _ in paths]
+    ref = native_loader.load_frames(
+        rep_paths, 256, 224, mean, std, crop_offsets=rep_offsets
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_multicrop_reports_oob_crop(jpeg):
+    with pytest.raises(IOError):
+        native_loader.load_frames_multicrop(
+            [jpeg], 256, 224, (0, 0, 0), (1, 1, 1),
+            crop_offsets=[(10_000, 0)],
+        )
+
+
 def test_missing_file_reports_failure(jpeg):
     with pytest.raises(IOError):
         native_loader.load_frames(
