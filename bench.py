@@ -163,6 +163,10 @@ def main():
             except RuntimeError as e:
                 print(f"warning: bs={bs}: {e}", flush=True)
                 continue
+            if dt <= 0:
+                print(f"warning: bs={bs}: non-positive delta {dt}; skipped",
+                      flush=True)
+                continue
             # Forward-only time of the same train-mode model (same unfused
             # backend, remat graph not applied on a pure forward), so the
             # artifact records the train-step : forward ratio — the
@@ -176,7 +180,8 @@ def main():
                 dt_fwd = time_chained(
                     fwd, video, n_lo=args.warmup, n_hi=args.iters, repeats=2
                 )
-                fwd_ratio[bs] = round(dt / dt_fwd, 2)
+                if dt_fwd > 0:
+                    fwd_ratio[bs] = round(dt / dt_fwd, 2)
             except RuntimeError:
                 pass
             results[bs] = bs / dt
@@ -210,6 +215,10 @@ def main():
             except RuntimeError as e:
                 print(f"warning: bs={bs}: {e}", flush=True)
                 continue
+            if dt <= 0:  # chained-timing jitter on a contended host
+                print(f"warning: bs={bs}: non-positive delta {dt}; skipped",
+                      flush=True)
+                continue
             results[bs] = bs / dt
             flops, ba = _cost_analysis(jax.jit(forward), video)
             util[bs] = _utilization(flops, ba, dt, bs)
@@ -238,6 +247,8 @@ def main():
                     ),
                     "utilization": {str(k): v for k, v in util.items() if v},
                     "device": str(jax.devices()[0]),
+                    "fused_env": {k: v for k, v in sorted(os.environ.items())
+                                  if k.startswith("RUBIKS_FUSED")},
                     **(
                         {"train_step_over_forward":
                          {str(k): v for k, v in fwd_ratio.items()}}
@@ -354,6 +365,10 @@ def supervise(args):
             "suspect_batches": suspect,
             "utilization": merged_util,
             "device": device,
+            # Which executor-scheduling env knobs were active (children
+            # inherit them), so a capture is traceable to its config.
+            "fused_env": {k: v for k, v in sorted(os.environ.items())
+                          if k.startswith("RUBIKS_FUSED")},
             **({"train_step_over_forward": merged_ratio}
                if merged_ratio else {}),
         },
