@@ -90,7 +90,18 @@ class RubiksNet(nn.Module):
         )
         feats = self.backbone(video, train=train)  # (N, T, feature_dim)
         logits = self.new_fc(feats)  # (N, T, num_classes)
-        return jnp.mean(logits, axis=1)
+        # TSN consensus. Under a time-axis shard_map (sequence parallelism)
+        # each shard holds T_loc frames: local mean + pmean over equal
+        # shards == the global mean, and the logits come out replicated.
+        from ..parallel.temporal import active_time_axis
+
+        axis = active_time_axis()
+        local_mean = jnp.mean(logits, axis=1)
+        if axis is not None:
+            import jax
+
+            return jax.lax.pmean(local_mean, axis)
+        return local_mean
 
 
 def from_ntchw(video):

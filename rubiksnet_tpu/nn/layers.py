@@ -187,6 +187,34 @@ class RubiksShift3D(nn.Module):
         )
 
     def __call__(self, x):
+        # Inside a time-axis shard_map (sequence parallelism), route through
+        # the ring halo-exchange variant; semantics are identical
+        # (parallel/temporal.py). Only the model's (1, s, s)/pad-0 geometry
+        # is supported there.
+        from ..parallel import temporal as _tp
+
+        axis = _tp.active_time_axis()
+        if axis is not None:
+            st, sh, sw = s3d._triple(self.stride)
+            pt, ph, pw = s3d._triple(self.padding)
+            assert st == 1 and (pt, ph, pw) == (0, 0, 0), (
+                "sequence-parallel shift supports stride (1, s, s), pad 0 "
+                f"only; got stride {(st, sh, sw)} pad {(pt, ph, pw)}"
+            )
+            assert self.normalize_t_factor != "auto", (
+                "resolve 'auto' t-factor with the global T before sharding"
+            )
+            return _tp.temporal_rubiks_shift_3d(
+                x,
+                self.shift,
+                axis_name=axis,
+                stride=(sh, sw),
+                normalize_grad=self.normalize_grad,
+                normalize_t_factor=self.normalize_t_factor,
+                quantize=self.quantize,
+                backend=self.backend,
+                max_shift=self.max_shift,
+            )
         return s3d.rubiks_shift_3d(
             x,
             self.shift,
@@ -257,6 +285,13 @@ class AttentionShift(nn.Module):
         )
 
     def __call__(self, x):
+        from ..parallel import temporal as _tp
+
+        axis = _tp.active_time_axis()
+        if axis is not None:
+            return _tp.temporal_attention_shift(
+                x, self.weight, self.temperature, axis_name=axis
+            )
         return _attention_shift_fn(x, self.weight, self.temperature)
 
 

@@ -41,6 +41,21 @@ from ..ops.shift3d import (
 TIME_AXIS = "time"
 
 
+def active_time_axis(axis_name=TIME_AXIS):
+    """Return `axis_name` when tracing inside a shard_map/pmap that binds it
+    (i.e. the clip's T axis is sharded), else None.
+
+    Lets the nn layers route to the halo-exchange ops automatically: the
+    same model code runs unsharded or sequence-parallel depending only on
+    whether the caller wrapped it in a time-axis shard_map.
+    """
+    try:
+        lax.axis_size(axis_name)
+        return axis_name
+    except NameError:
+        return None
+
+
 def halo_exchange_time(x, k, axis_name=TIME_AXIS):
     """Extend a T-sharded (N, T_loc, H, W, C) block with its neighbors'
     boundary frames: returns (N, T_loc + 2k, H, W, C).
@@ -67,9 +82,10 @@ def halo_exchange_time(x, k, axis_name=TIME_AXIS):
 def _plain_sharded_shift(x, shift, k, axis_name, stride, quantize, backend,
                          max_shift):
     """Halo-extend, shift (unnormalized autodiff path), trim the halo."""
+    sh, sw = stride
     xh = halo_exchange_time(x, k, axis_name)
     y = rubiks_shift_3d(
-        x=xh, shift=shift, stride=(1, stride, stride), padding=0,
+        x=xh, shift=shift, stride=(1, sh, sw), padding=0,
         normalize_grad=False, quantize=quantize, backend=backend,
         max_shift=max_shift,
     )
@@ -141,15 +157,19 @@ def temporal_rubiks_shift_3d(
     """`rubiks_shift_3d` for a clip whose T axis is sharded over `axis_name`.
 
     Must run inside `shard_map`; `x` is the local (N, T_loc, H, W, C) block,
-    `shift` the replicated (3, C) parameter. `stride` applies to H/W only
+    `shift` the replicated (3, C) parameter. `stride` (int or (sh, sw))
+    applies to H/W only
     (the model always uses temporal stride 1, models.py:132-135);
     `normalize_t_factor` is the resolved float (the "auto" => T/H rule must
     be applied by the caller with the GLOBAL T). Gradients equal the
     unsharded op's: this function psums the shift gradient across the time
     axis itself — do not add another psum for it.
     """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    sh, sw = (int(s) for s in stride)
     return _temporal_core(
-        x, shift, str(axis_name), int(stride), bool(normalize_grad),
+        x, shift, str(axis_name), (sh, sw), bool(normalize_grad),
         float(normalize_t_factor), bool(quantize), str(backend),
         int(max_shift),
     )
@@ -165,6 +185,34 @@ def temporal_attention_shift(x, weight, temperature=2.0, axis_name=TIME_AXIS):
     """
     xh = halo_exchange_time(x, 1, axis_name)
     return attention_shift(xh, weight, temperature)[:, 1:-1]
+
+
+def sequence_parallel_eval(model, variables, mesh, axis_name=TIME_AXIS):
+    """Build a jitted eval forward with the clip's T axis sharded over
+    `mesh`'s `axis_name`.
+
+    The nn layers detect the bound time axis (active_time_axis) and route
+    every RubiksShift3D / AttentionShift through the halo-exchange ops; the
+    TSN consensus becomes local-mean + pmean, so the returned logits are
+    replicated. Logits equal the unsharded `model.apply(...)` up to float
+    rounding (tests/test_temporal_parallel.py).
+
+    Returns fn(video_sharded) -> (N, num_classes); shard inputs with
+    `time_shard_clip(video, mesh, axis_name)`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fwd(vars_, video):
+        return model.apply(vars_, video, train=False)
+
+    mapped = shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=P(),
+    )
+    return jax.jit(functools.partial(mapped, variables))
 
 
 def time_shard_clip(video, mesh, axis_name=TIME_AXIS):

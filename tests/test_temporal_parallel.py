@@ -136,6 +136,29 @@ def test_attention_shift_matches_unsharded(mesh, data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.parametrize("variant", ["rubiks3d", "rubiks3d-aq"])
+def test_model_sequence_parallel_eval(mesh, variant):
+    """Full-model eval with T sharded 4-way == the unsharded forward: the
+    shift layers route through the halo exchange automatically and the TSN
+    consensus pmeans across time shards."""
+    from rubiksnet_tpu.models import create_rubiksnet
+    from rubiksnet_tpu.parallel.temporal import sequence_parallel_eval
+
+    bundle = create_rubiksnet(
+        "tiny", num_classes=7, num_frames=T, input_size=32, variant=variant,
+        shift_backend="gather", shift_max_shift=1,
+    )
+    video = jnp.asarray(
+        np.random.RandomState(5).randn(2, T, 32, 32, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    fn = sequence_parallel_eval(bundle.model, bundle.variables, mesh)
+    got = fn(time_shard_clip(video, mesh))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_halo_too_small_asserts(mesh, data):
     """A halo larger than the local shard (K=3 > T_loc=2) must fail loudly
     at trace time, not silently read short."""
