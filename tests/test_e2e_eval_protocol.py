@@ -131,7 +131,7 @@ def _reference_eval(net, root, two_clips):
     return np.stack(logits), np.asarray(labels)
 
 
-def _our_eval(ckpt, root, two_clips):
+def _our_eval(ckpt, root, two_clips, loader="pil"):
     """Our evaluator pipeline, scripts/test_models.py (this repo)."""
     import jax
 
@@ -141,6 +141,7 @@ def _our_eval(ckpt, root, two_clips):
         GroupFullResSample,
         GroupNormalize,
         GroupScale,
+        NativeEvalDataset,
         RubiksDataset,
         Stack,
         ToClipArray,
@@ -173,10 +174,14 @@ def _our_eval(ckpt, root, two_clips):
         image_tmpl=TMPL,
         test_mode=True,
         remove_missing=True,
-        transform=transform,
+        transform=None if loader == "native" else transform,
         dense_sample=False,
         twice_sample=two_clips,
     )
+    if loader == "native":
+        ds = NativeEvalDataset(
+            ds, SCALE, CROP, INPUT_MEAN, INPUT_STD, two_clips=two_clips
+        )
     eval_step = jax.jit(make_eval_step(bundle.model, num_crops=num_views))
     logits, labels = [], []
     for video, lab, valid in batch_iterator(ds, 2, num_views, T):
@@ -198,4 +203,27 @@ def test_dual_evaluator_protocol_parity(frame_root, ckpt_path, two_clips):
     np.testing.assert_allclose(our_logits, ref_logits, atol=1e-4, rtol=0)
     np.testing.assert_array_equal(
         our_logits.argmax(1), ref_logits.argmax(1)
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("two_clips", [False, True],
+                         ids=["1clip", "2clip_3crop"])
+def test_native_loader_evaluator_parity(frame_root, ckpt_path, two_clips):
+    """The evaluator's production input path (native C++ decode-once
+    pipeline, incl. the 2-clip multicrop) yields the same predictions as
+    the PIL pipeline; logits differ only by JPEG-decode/resize rounding."""
+    from rubiksnet_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    path, _net = ckpt_path
+    pil_logits, pil_labels = _our_eval(path, frame_root, two_clips)
+    nat_logits, nat_labels = _our_eval(
+        path, frame_root, two_clips, loader="native"
+    )
+    np.testing.assert_array_equal(pil_labels, nat_labels)
+    np.testing.assert_allclose(nat_logits, pil_logits, atol=0.02, rtol=0)
+    np.testing.assert_array_equal(
+        nat_logits.argmax(1), pil_logits.argmax(1)
     )
