@@ -159,6 +159,35 @@ def test_model_sequence_parallel_eval(mesh, variant):
     )
 
 
+@pytest.mark.slow
+def test_pjit_time_sharded_train_step(mesh):
+    """Long-clip TRAINING via jit sharding propagation: a train step whose
+    video is sharded along T is one logical computation (global BN stats,
+    globally-normalized shift grads by construction) — XLA inserts the
+    halo collectives. Must produce the unsharded step's numbers."""
+    from rubiksnet_tpu.models import create_rubiksnet
+    from rubiksnet_tpu.train.optim import sgd_with_shift_mult
+    from rubiksnet_tpu.train.steps import create_train_state, make_train_step
+
+    bundle = create_rubiksnet(
+        "tiny", num_classes=5, num_frames=T, input_size=32,
+        shift_backend="gather", shift_max_shift=1, remat=True,
+    )
+    tx = sgd_with_shift_mult(lr=1e-2, lr_shift_mult=0.1)
+    state = create_train_state(bundle, tx)
+    step = jax.jit(make_train_step(bundle.model, tx))
+    rng = np.random.RandomState(11)
+    video = jnp.asarray(rng.randn(4, T, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 5, 4), jnp.int32)
+
+    _, metrics_ref = step(state, video, labels)
+    with mesh:
+        _, metrics_sp = step(state, time_shard_clip(video, mesh), labels)
+    np.testing.assert_allclose(
+        float(metrics_sp["loss"]), float(metrics_ref["loss"]), rtol=1e-5
+    )
+
+
 def test_halo_too_small_asserts(mesh, data):
     """A halo larger than the local shard (K=3 > T_loc=2) must fail loudly
     at trace time, not silently read short."""
