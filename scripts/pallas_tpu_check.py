@@ -286,6 +286,23 @@ def main():
     print(f"fused_infer large bf16: norm logit err={err:.3e} pass={passed}",
           flush=True)
 
+    # --- 4. the AQ variant (in-kernel softmax 3-tap attention shift) ---
+    bundle = create_rubiksnet(
+        "large", num_classes=174, num_frames=8, input_size=64,
+        dtype=jnp.bfloat16, variant="rubiks3d-aq", shift_backend="conv",
+        shift_max_shift=2)
+    want = jax.jit(
+        lambda v: bundle.model.apply(bundle.variables, v, train=False))(video)
+    got = jax.jit(
+        lambda v: fused_infer_apply(bundle.model, bundle.variables, v))(video)
+    err = _nerr(got, want)
+    passed = err < 0.1
+    ok &= passed
+    results["checks"]["fused_infer_large_aq_bf16"] = {
+        "norm_logit_err": err, "tol": 0.1, "pass": passed}
+    print(f"fused_infer large AQ bf16: norm logit err={err:.3e} pass={passed}",
+          flush=True)
+
     results["ok"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
