@@ -80,6 +80,29 @@ def main():
         case["auto_vs_best_bwd"] = round(
             min(case[b]["bwd_ms"] for b in ("pallas", "conv", "select"))
             / case["auto"]["bwd_ms"], 2)
+
+        # Isolated (3, C) shift-parameter gradient: the x-grad-only bwd
+        # above lets XLA DCE this reduction, so time it directly — it is the
+        # piece the reference's dedicated backward kernel accelerated
+        # (cuda_src/rubiks3d_kernels.cu:218-452) and the data behind
+        # auto_backend.OCCUPANCY_MIN.
+        og = jnp.asarray(np.random.RandomState(2).randn(*shape), dtype)
+        sgrads = {}
+        for b in ("pallas", "gather", "auto"):
+            fn = lambda og_: s3d.rubiks_shift_3d_shift_grad(
+                og_, x, shift, backend=b, max_shift=k
+            )
+            try:
+                dt_g = time_chained(fn, og, n_lo=1, n_hi=17, repeats=3)
+            except Exception as e:  # unsupported config
+                sgrads[b] = {"error": str(e)[:120]}
+                continue
+            sgrads[b] = {"ms": round(dt_g * 1e3, 3)}
+            print(f"{name} shift-grad {b}: {dt_g*1e3:.2f} ms", flush=True)
+        if "ms" in sgrads.get("pallas", {}) and "ms" in sgrads.get("gather", {}):
+            sgrads["pallas_vs_gather"] = round(
+                sgrads["gather"]["ms"] / sgrads["pallas"]["ms"], 2)
+        case["shift_grad"] = sgrads
         results["cases"][name] = case
 
     with open(args.out, "w") as f:
