@@ -10,7 +10,7 @@ optimizer itself stays standard.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Union
 
 import jax
 import optax
@@ -33,7 +33,7 @@ def param_labels(params) -> Any:
 
 
 def sgd_with_shift_mult(
-    lr: float,
+    lr: Union[float, Callable[[Any], Any]],
     lr_shift_mult: float = 0.1,
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
@@ -41,13 +41,19 @@ def sgd_with_shift_mult(
     """SGD matching scripts/example_finetune.py:49-64 / 190-208 defaults:
     momentum 0.9, weight decay 1e-4 on non-shift params, shift LR scaled by
     lr_shift_mult. Weight decay excludes shift/bias/bn groups (decay_mult=0
-    in backbone.py:228-234)."""
+    in backbone.py:228-234).
+
+    `lr` may be a float or an optax schedule (step -> lr); the per-group
+    multiplier applies on top of the schedule either way."""
 
     def group(lr_mult, decay):
         txs = []
         if decay > 0:
             txs.append(optax.add_decayed_weights(decay))
-        txs.append(optax.sgd(lr * lr_mult, momentum=momentum))
+        group_lr = (
+            (lambda step: lr(step) * lr_mult) if callable(lr) else lr * lr_mult
+        )
+        txs.append(optax.sgd(group_lr, momentum=momentum))
         return optax.chain(*txs)
 
     return optax.multi_transform(
