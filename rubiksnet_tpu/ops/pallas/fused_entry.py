@@ -18,21 +18,31 @@ in a single pass: x is read once, out is written once at 1/4 resolution.
 Key identity: with padding 0, the reference's strided output grid
 (rubiksnet/shiftlib/rubiks3d/primitive.py:24-47 — out[h'] samples position
 s*h' + shift) makes a strided shift EXACTLY a stride-1 shift followed by 2x
-decimation: v_s2[h', w'] = v_s1[2h', 2w']. So the schedule reuses the
-per-frame phase structure of fused_frames.py (phase A: bn1+relu, conv2
-matmul, bn2+relu into a halo buffer; W taps in place) and applies the
-decimation in phase C as compile-time-static strided slices of f32 VALUES
-(lax.slice_in_dim stride=2) — the same construction fused_shift3d.py uses
-for its strided configs. The strided shortcut is the same decimation of the
-bn1-activated frame (flax Conv stride 2 samples indices 0, 2, ...), matmul'd
-against the shortcut kernel in phase A while the frame is resident.
+decimation: v_s2[h', w'] = v_s1[2h', 2w'].
+
+Mosaic on this runtime rejects ALL strided vector slices at verification
+("expected strides to be confined to [1, 2)" — scripts/mosaic_probe.py), so
+the two decimations use strided-slice-free constructions, both probed OK
+on-chip:
+
+  * W (the sublane dim): the kernel works in a DE-INTERLEAVED column layout
+    [E | O] with E_q = col 2q, O_q = col 2q+1, built by XLA outside the
+    kernel (strided slices are fine in XLA). A stride-1 column shift by d
+    maps to unit-stride slices of the halves (source half = (d mod 2),
+    half-offset = (d - d mod 2)/2), and the W decimation is just "take the
+    E half". Since only the E half survives decimation, the W taps compute
+    ONLY the E output — half the tap work of the natural layout.
+  * H (the untiled major dim of the rank-3 frame): a value reshape
+    (rows, w, c) -> (rows/2, 2, w, c) splitting the major dim (layout
+    preserving) + a unit-stride parity slice. The H taps then read
+    uP[j mod 2][r + j//2] for source row 2r + j — unit strides only.
 
 Grid = (clip groups, 2T): phase AB (frame t: bn1/conv2/bn2 into the halo
-buffer + in-place W taps + shortcut matmul), then phase C (frame t: T taps,
-strided H taps, strided W decimation, SE gate on the decimated activation,
-conv3 matmul, shortcut add, output write). All tap/slice arithmetic is f32
-(Mosaic on this runtime miscompiles odd-offset bf16 value slices and lacks
-16-bit strided ops; see fused_block.py / fused_shift3d.py).
+buffer + in-place E-half W taps + shortcut matmul on even rows / E cols),
+then phase C (frame t: T taps, parity-split H taps with decimation, SE gate
+on the decimated activation, conv3 matmul, shortcut add, output write). All
+tap/slice arithmetic is f32 (Mosaic here miscompiles odd-offset bf16 value
+slices; see fused_block.py).
 
 AQ entry blocks are not handled (their temporal attention mix precedes
 conv2); the executor keeps those unfused.
@@ -49,35 +59,43 @@ import os
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_block import _round_up, _sub, _VMEM_LIMIT_CAP, fold_bn
-from .fused_frames import _ws_geometry
 
 _ENTRY_VMEM_BUDGET = 110 * 1024 * 1024
 
 
 def _entry_geometry(shape, mid, max_shift, dtype, sdtype):
+    """Padded geometry of the de-interleaved schedule.
+
+    Returns (k, ho, wo, wop, whi, wce, sh, hbE, hbO, wph, tp, hp):
+    decimated dims, f32 staging width, input half width, phase-C read
+    extent, half stride, the two half base columns, halo buffer width, and
+    padded frame/row counts.
+    """
     n, t, h, w, cin = shape
     k = max_shift
-    ho = (h - 1) // 2 + 1
-    wo = (w - 1) // 2 + 1
-    wop = _round_up(wo, 8)  # decimated width, f32-value sublane tile
-    # The working width must cover the widest strided slice
-    # (2*(wop-1)+1 columns); columns beyond w are zero-padded.
-    we = _round_up(max(w, 2 * wop - 1), _sub(dtype))
-    wp, wc, kp, off, tp, hp, wche, wph = _ws_geometry(
-        t, h, we, mid, k, dtype, sdtype, 1)
-    assert wp == we, (wp, we)
-    return k, ho, wo, wop, wp, kp, off, tp, hp, wche, wph
+    ho, wo = h // 2, w // 2
+    whi = _round_up(wo, _sub(dtype))   # input half width (dw layout)
+    wop = _round_up(wo, 8)             # f32 staging / output compute width
+    sub_s = _sub(sdtype)
+    kb = sub_s                         # aligned halo columns per half
+    assert (k + 1) // 2 <= kb, (k, kb)
+    wce = _round_up(wop + k // 2 + 2, sub_s)
+    sh = _round_up(kb + wce, sub_s)
+    hbE, hbO = kb, sh + kb
+    wph = 2 * sh
+    tp = t + 2 * k + 1
+    hp = h + 2 * k + 1
+    return k, ho, wo, wop, whi, wce, sh, hbE, hbO, wph, tp, hp
 
 
 def _entry_vmem_bytes(shape, mid, max_shift, dtype, sdtype, se, hs=1,
                       g=1) -> int:
     n, t, h, w, cin = shape
-    k, ho, wo, wop, wp, kp, off, tp, hp, wche, wph = _entry_geometry(
+    k, ho, wo, wop, whi, wce, sh, hbE, hbO, wph, tp, hp = _entry_geometry(
         shape, mid, max_shift, dtype, sdtype)
     item = jnp.dtype(dtype).itemsize
     sitem = jnp.dtype(sdtype).itemsize
@@ -85,24 +103,23 @@ def _entry_vmem_bytes(shape, mid, max_shift, dtype, sdtype, se, hs=1,
     cp = _round_up(mid, 128)
     cbuf = g * tp * hp * wph * cp * sitem
     scbuf = g * t * ho * wop * cp * 4
-    io = 4 * g * h * wp * cpi * item + 4 * g * ho * wo * cp * item
-    xstage = h * wp * cpi * item
+    io = 4 * g * h * 2 * whi * cpi * item + 4 * g * ho * wo * cp * item
     vdbuf = ho * wop * cp * 4 if se else 0
     weights = (2 * cpi * cp + cp * cp) * item
-    tn = 2 * k + 1
-    # W-tap chunks span hp/hs halo rows; phase-C chunks produce ho/hs output
-    # rows from 2*rows+tn-1 input rows. Both phases' temporaries are
-    # budgeted together (pl.when branches can coexist across Mosaic's
-    # scheduling windows — same conservative model as fused_frames).
+    # Phase temporaries (f32), conservatively budgeted together
+    # (pl.when branches can coexist across Mosaic's scheduling windows).
     hpc = -(-hp // hs)
-    un = 2 * (-(-ho // hs)) + tn - 2
+    hoc = -(-ho // hs)
+    un2 = 2 * hoc + 2 * k
     temps = 4 * (
-        h * wp * cpi + 2 * h * wp * cp   # a + bm/cm (whole-frame matmul)
-        + 2 * hpc * wche * cp            # cc + wv (W-tap chunk)
-        + 2 * un * wp * cp               # u + v (T/H tap chunk)
-        + 3 * (-(-ho // hs)) * wop * cp  # vd + e + shortcut add
+        h * 2 * whi * cpi          # a
+        + 2 * h * 2 * whi * cp     # bm / cm
+        + 2 * ho * wop * max(cpi, cp)  # ad / sc
+        + hpc * wph * cp + hpc * wop * cp  # cc / wv (W-tap chunk)
+        + 2 * un2 * wce * cp       # u / u4
+        + 2 * hoc * wop * cp       # v / e
     )
-    return (cbuf + scbuf + io + xstage + vdbuf + weights + temps)
+    return cbuf + scbuf + io + vdbuf + weights + temps
 
 
 _HS_CANDIDATES = (1, 2, 4, 8)
@@ -148,15 +165,16 @@ def fused_entry_supported(shape, cin, mid, max_shift, dtype,
 
 def _kernel(
     x_ref, vt1_ref, vt2_ref, w2_ref, w3_ref, wsc_ref, se_ref, out_ref,
-    cbuf, scbuf, xstage, vdbuf,
-    *, g_len, t_len, h_len, w_len, cin, mid, k, taps_n, hs, ho, wo, wop, wp,
-    kp, off, tp, hp, wche, wph, out_dtype,
+    cbuf, scbuf, vdbuf,
+    *, g_len, t_len, h_len, w_len, cin, mid, k, taps_n, hs, ho, wo, wop,
+    whi, wce, sh, hbE, hbO, wph, tp, hp, out_dtype,
 ):
     s = pl.program_id(1)
     f32 = jnp.float32
     fhp = tp * hp
     tho = t_len * ho
     first = jnp.logical_and(pl.program_id(0) == 0, s == 0)
+    mdt = x_ref.dtype  # matmul operand dtype
 
     @pl.when(first)
     def _zero():
@@ -184,51 +202,56 @@ def _kernel(
         )
         return jax.nn.sigmoid(y2)
 
-    h_span = 2 * (ho - 1) + 1
-    w_span = 2 * (wop - 1) + 1
-
     @pl.when(s < t_len)
     def _phase_ab():
         def ab_clip(gi):
-            if wp > w_len:
-                xstage[:, w_len:wp, :] = jnp.zeros(
-                    (h_len, wp - w_len, cin), xstage.dtype)
-            xstage[:, 0:w_len, :] = x_ref[gi]
-            a = jnp.maximum(xstage[...].astype(f32) * bn1_s + bn1_b, 0)
+            a = jnp.maximum(
+                x_ref[gi].astype(f32) * bn1_s + bn1_b, 0
+            )  # (h, 2*whi, cin), de-interleaved cols
 
-            # Strided shortcut: decimate the activated frame (stride-2 conv
-            # samples indices 0, 2, ...), one matmul, staged for phase C.
-            ad = lax.slice_in_dim(a, 0, h_span, stride=2, axis=0)
-            ad = lax.slice_in_dim(ad, 0, w_span, stride=2, axis=1)
-            sc = jnp.dot(
-                ad.astype(x_ref.dtype).reshape(ho * wop, cin), wsc_ref[...],
-                preferred_element_type=f32,
-            )
+            # Strided shortcut: stride-2 conv samples even rows (major-dim
+            # reshape-split) and even cols (= the E half), one matmul,
+            # staged for phase C.
+            ad = a.reshape(h_len // 2, 2, 2 * whi, cin)[:, 0][:, 0:wop, :]
+            sc = jnp.dot(ad.astype(mdt).reshape(ho * wop, cin),
+                         wsc_ref[...], preferred_element_type=f32)
             scbuf[pl.ds(gi * tho + s * ho, ho)] = sc.reshape(ho, wop, mid)
 
-            # Main path into the halo buffer (fresh zero borders), then the
-            # W-axis taps in place at full (stride-1) resolution, chunked
-            # over halo rows (W taps never mix rows).
+            # Main path into the halo buffer (fresh zero borders), halves
+            # written separately (whi is sublane-tile aligned, so both
+            # value-slice offsets are legal for bf16).
             fbase = gi * fhp + (k + s) * hp
             cbuf[pl.ds(fbase, hp)] = jnp.zeros((hp, wph, mid), cbuf.dtype)
-            bm = jnp.dot(a.astype(x_ref.dtype).reshape(h_len * wp, cin),
+            bm = jnp.dot(a.astype(mdt).reshape(h_len * 2 * whi, cin),
                          w2_ref[...], preferred_element_type=f32)
-            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(cbuf.dtype)
-            cbuf[pl.ds(fbase + k, h_len),
-                 kp : kp + w_len, :] = cm.reshape(h_len, wp, mid)[:, :w_len, :]
+            cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(
+                cbuf.dtype).reshape(h_len, 2 * whi, mid)
+            rows = pl.ds(fbase + k, h_len)
+            cbuf[rows, hbE:hbE + wo, :] = cm[:, 0:wo, :]
+            cbuf[rows, hbO:hbO + wo, :] = cm[:, whi:whi + wo, :]
+
+            # W taps, E-half output only (the O columns die in the
+            # decimation), in place over halo-row chunks: each chunk loads
+            # its rows as an f32 VALUE before writing, and W taps never mix
+            # rows, so ascending chunks are safe.
             hpc = -(-hp // hs)
             for hi in range(hs):
                 r0 = hi * hpc
                 rn = min(hpc, hp - r0)
                 if rn <= 0:
                     break
-                cc = cbuf[pl.ds(fbase + r0, rn), 0:wche, :].astype(f32)
+                cc = cbuf[pl.ds(fbase + r0, rn), :, :].astype(f32)
                 wv = None
                 for j in range(taps_n):
+                    d = j - k
+                    p_src = d % 2
+                    o = (d - p_src) // 2
+                    base = (hbO if p_src else hbE) + o
                     term = vt2_ref[2 + 2 * taps_n + j, :].reshape(
-                        1, 1, mid) * cc[:, off + j : off + j + wp, :]
+                        1, 1, mid) * cc[:, base:base + wop, :]
                     wv = term if wv is None else wv + term
-                cbuf[pl.ds(fbase + r0, rn), 0:wp, :] = wv.astype(cbuf.dtype)
+                cbuf[pl.ds(fbase + r0, rn), hbE:hbE + wop, :] = wv.astype(
+                    cbuf.dtype)
 
         each_clip(ab_clip)
 
@@ -244,29 +267,31 @@ def _kernel(
 
         def compute_vd(gi, r0, rn):
             """Decimated shifted activation for output rows [r0, r0+rn):
-            T taps (stride 1) over the chunk's halo-row window, H taps at
-            strided rows, then the strided W decimation (the W taps ran at
-            full width in phase AB). All slices are f32 VALUE slices."""
+            T taps (stride 1) over the chunk's halo-row window, then H taps
+            via a parity split of the rows (source row 2r + j = parity
+            j mod 2, half-row r + j//2). The E-half columns were W-tapped in
+            phase AB. All slices are unit-stride f32 VALUE slices."""
             cbase = gi * fhp
-            span = 2 * (rn - 1) + 1
-            un = span + taps_n - 1
+            un2 = 2 * rn + 2 * k
             u = None
             for l in range(taps_n):
                 term = vt2_ref[2 + l, :].reshape(1, 1, mid) * (
-                    cbuf[pl.ds(cbase + (t + l) * hp + 2 * r0, un),
-                         0:wp, :].astype(f32)
+                    cbuf[pl.ds(cbase + (t + l) * hp + 2 * r0, un2),
+                         hbE:hbE + wce, :].astype(f32)
                 )
                 u = term if u is None else u + term
+            u4 = u.reshape(un2 // 2, 2, wce, mid)
             v = None
             for j in range(taps_n):
+                src = u4[:, j % 2]
                 term = vt2_ref[2 + taps_n + j, :].reshape(1, 1, mid) * (
-                    lax.slice_in_dim(u, j, j + span, stride=2, axis=0)
+                    src[j // 2:j // 2 + rn]
                 )
                 v = term if v is None else v + term
-            return lax.slice_in_dim(v, 0, w_span, stride=2, axis=1)
+            return v[:, 0:wop, :]
 
         def finish(gi, r0, vd):
-            e = jnp.dot(vd.astype(x_ref.dtype).reshape(
+            e = jnp.dot(vd.astype(mdt).reshape(
                 vd.shape[0] * wop, mid), w3_ref[...],
                 preferred_element_type=f32)
             res = e.reshape(vd.shape[0], wop, mid) + scbuf[
@@ -297,9 +322,9 @@ def _kernel(
 
 
 def _kernel_no_se(x_ref, vt1_ref, vt2_ref, w2_ref, w3_ref, wsc_ref, out_ref,
-                  cbuf, scbuf, xstage, **kw):
+                  cbuf, scbuf, **kw):
     _kernel(x_ref, vt1_ref, vt2_ref, w2_ref, w3_ref, wsc_ref, None, out_ref,
-            cbuf, scbuf, xstage, None, **kw)
+            cbuf, scbuf, None, **kw)
 
 
 def fused_entry_run(x, params, se=None, *, max_shift, interpret=None,
@@ -312,7 +337,7 @@ def fused_entry_run(x, params, se=None, *, max_shift, interpret=None,
       se: optional (2, Cmid, Cr) f32 squeeze-excitation weights.
       max_shift: static K bound on the integer part of the shifts.
 
-    Returns (N, T, (H-1)//2+1, (W-1)//2+1, Cmid).
+    Returns (N, T, H//2, W//2, Cmid).
     """
     vt1, vt2, w2, w3, wsc = params
     n, t_len, h_len, w_len, cin = x.shape
@@ -331,19 +356,32 @@ def fused_entry_run(x, params, se=None, *, max_shift, interpret=None,
     g = group if group is not None else pick_entry_group(
         x.shape, mid, k, x.dtype, sdtype, se is not None, hs)
     assert g >= 1 and n % g == 0, (n, g)
-    k, ho, wo, wop, wp, kp, off, tp, hp, wche, wph = _entry_geometry(
+    k, ho, wo, wop, whi, wce, sh, hbE, hbO, wph, tp, hp = _entry_geometry(
         x.shape, mid, k, x.dtype, sdtype)
 
-    x4 = x.reshape(n, t_len * h_len, w_len, cin)
+    # De-interleave W into [even | odd] halves (XLA-side: strided slices
+    # are only illegal inside the kernel), zero-padding each half to the
+    # sublane-tile-aligned width whi.
+    pad = whi - wo
+    xE = x[..., 0::2, :]
+    xO = x[..., 1::2, :]
+    if pad:
+        pads = [(0, 0)] * 5
+        pads[3] = (0, pad)
+        xE = jnp.pad(xE, pads)
+        xO = jnp.pad(xO, pads)
+    x4 = jnp.concatenate([xE, xO], axis=3).reshape(
+        n, t_len * h_len, 2 * whi, cin)
+
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
         g_len=g, t_len=t_len, h_len=h_len, w_len=w_len, cin=cin, mid=mid,
-        k=k, taps_n=taps_n, hs=hs, ho=ho, wo=wo, wop=wop, wp=wp, kp=kp,
-        off=off, tp=tp, hp=hp, wche=wche, wph=wph, out_dtype=x.dtype,
+        k=k, taps_n=taps_n, hs=hs, ho=ho, wo=wo, wop=wop, whi=whi, wce=wce,
+        sh=sh, hbE=hbE, hbO=hbO, wph=wph, tp=tp, hp=hp, out_dtype=x.dtype,
     )
     in_specs = [
         pl.BlockSpec(
-            (g, h_len, w_len, cin),
+            (g, h_len, 2 * whi, cin),
             lambda i, s: (i, jnp.minimum(s, t_len - 1), 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -372,7 +410,6 @@ def fused_entry_run(x, params, se=None, *, max_shift, interpret=None,
         scratch_shapes=[
             pltpu.VMEM((g * tp * hp, wph, mid), sdtype),   # halo buffers
             pltpu.VMEM((g * t_len * ho, wop, mid), jnp.float32),  # shortcut
-            pltpu.VMEM((h_len, wp, cin), x.dtype),         # padded frame
         ] + ([pltpu.VMEM((ho, wop, mid), jnp.float32)]     # staged vd (SE)
              if se is not None else []),
         compiler_params=pltpu.CompilerParams(
@@ -385,7 +422,8 @@ def fused_entry_run(x, params, se=None, *, max_shift, interpret=None,
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=n * t_len * 2 * h_len * wp * (2 * cin * mid + mid * mid),
+            flops=n * t_len * 2 * h_len * 2 * whi * (2 * cin * mid
+                                                     + mid * mid),
             bytes_accessed=x4.size * x4.dtype.itemsize
             + n * t_len * ho * wo * mid * jnp.dtype(x.dtype).itemsize,
             transcendentals=0,

@@ -19,18 +19,23 @@ fault the TPU worker or fail compilation; established by bisection on v5e):
   * DMA'd buffers need 128-aligned lane and 8/16-aligned sublane extents;
   * manual DMAs must be contiguous row ranges of a rank-3 ref;
   * output BlockSpecs partitioned along a single dim only, 1-D grid;
-  * 16-bit (bf16) strided vector loads/stores are unimplemented, so every
-    in-kernel slice must be contiguous for bf16: the halo buffer is laid out
-    in (t', h) blocks (one contiguous DMA per padded frame) making T taps
+  * ALL strided vector slices are rejected at verification ("expected
+    strides to be confined to [1, 2)" — scripts/mosaic_probe.py), so every
+    in-kernel slice must be unit-stride: the halo buffer is laid out in
+    (t', h) blocks (one contiguous DMA per padded frame) making T taps
     block slices and H/W taps stride-1 slices; output tile rows are ordered
-    (t, h) so writes are contiguous. Spatially strided (s=2) configs use
-    strided slices and are therefore supported only for 32-bit dtypes —
-    the public op falls back to the select backend otherwise (only 5 of the
-    83 shift layers in RubiksNet-Large are strided).
+    (t, h) so writes are contiguous.
+  * Spatially strided (s=2) configs therefore use strided-slice-FREE
+    decimation (both constructs probed OK on-chip): the padded input is
+    W-DE-INTERLEAVED by XLA outside the kernel (halves [E | O]; tap j of
+    the decimated output reads unit-stride slice [j//2, j//2+W_out) of half
+    j%2, since source col 2q+j = 2(q + j//2) + j%2), and the H decimation
+    splits the untiled major row dim with a layout-preserving rank-4
+    reshape + a unit-stride parity slice.
 
-Supported: stride (1, s, s) with equal H/W stride (s>1 requiring 32-bit
-dtype), padding 0, quantize (half-up). The public op falls back to the
-select backend for anything else.
+Supported: stride (1, s, s) with equal H/W stride s in {1, 2}, padding 0,
+quantize (half-up). The public op falls back to the select backend for
+anything else.
 """
 
 from __future__ import annotations
@@ -66,7 +71,7 @@ def _pick_tile(h_out: int, s_h: int, taps: int, tp: int, bytes_per_row: int,
 
 def _kernel(
     wt_ref, wh_ref, ww_ref, xp_ref, out_ref, buf, sems,
-    *, taps, t_out, hp, tp, th, hw_in, wp, w_out, c, s_h, s_w, n_h,
+    *, taps, t_out, hp, tp, th, hw_in, wp, w_out, c, s_h, s_w, n_h, whp=0,
 ):
     g = pl.program_id(0)
     n = g // n_h
@@ -104,18 +109,36 @@ def _kernel(
             rows = buf[(t + j) * hw_in : (t + j + 1) * hw_in].astype(f32)
             term = w_at(wt_ref, j) * rows
             a = term if a is None else a + term
-        # H stage (contiguous for s_h == 1; strided slices only for 32-bit).
+        # H stage (contiguous for s_h == 1; parity split for s_h == 2 —
+        # Mosaic here rejects all strided slices, so source row 2r + j is
+        # read as half j%2, half-row r + j//2 of a major-dim reshape-split).
         b = None
-        for j in range(taps):
-            rows = lax.slice_in_dim(a, j, j + h_span, stride=s_h, axis=0)
-            term = w_at(wh_ref, j) * rows
-            b = term if b is None else b + term
-        # W stage.
+        if s_h == 1:
+            for j in range(taps):
+                rows = lax.slice_in_dim(a, j, j + h_span, axis=0)
+                term = w_at(wh_ref, j) * rows
+                b = term if b is None else b + term
+        else:
+            a4 = a.reshape(hw_in // 2, 2, a.shape[1], c)
+            for j in range(taps):
+                rows = a4[:, j % 2][j // 2:j // 2 + th]
+                term = w_at(wh_ref, j) * rows
+                b = term if b is None else b + term
+        # W stage (for s_w == 2 the buffer columns are de-interleaved
+        # [E | O] halves of width whp: source col 2q + j = half j%2, index
+        # q + j//2 — unit-stride slices only).
         o = None
-        for j in range(taps):
-            cols = lax.slice_in_dim(b, j, j + w_span, stride=s_w, axis=1)
-            term = w_at(ww_ref, j) * cols
-            o = term if o is None else o + term
+        if s_w == 1:
+            for j in range(taps):
+                cols = lax.slice_in_dim(b, j, j + w_span, axis=1)
+                term = w_at(ww_ref, j) * cols
+                o = term if o is None else o + term
+        else:
+            for j in range(taps):
+                base = (whp if j % 2 else 0) + j // 2
+                cols = b[:, base:base + w_out]
+                term = w_at(ww_ref, j) * cols
+                o = term if o is None else o + term
         # Output tile rows ordered (t, h): contiguous write.
         out_ref[t * th : (t + 1) * th] = o.astype(out_ref.dtype)
 
@@ -124,8 +147,8 @@ def fused_shift3d_supported(shape, stride, padding, max_shift, dtype) -> bool:
     st, sh, sw = stride
     if st != 1 or sh != sw or padding != (0, 0, 0):
         return False
-    if sh != 1 and jnp.dtype(dtype).itemsize < 4:
-        return False  # Mosaic lacks 16-bit strided vector loads
+    if sh not in (1, 2):
+        return False  # strided-slice-free decimation exists only for s=2
     n, t, h, w, c = shape
     h_out = output_len(h, sh, 0)
     w_out = output_len(w, sw, 0)
@@ -165,8 +188,15 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     tp = t_in + 2 * k + 1
     hp = (h_out - 1) * sh + 2 * k + 2
     w_out_p = -(-w_out // sub) * sub
-    wp = (w_out_p - 1) * sw + 2 * k + 2
-    wp = -(-wp // sub) * sub
+    if sw == 2:
+        # De-interleaved layout: two aligned halves of width whp; tap j of
+        # the decimated output reads half j%2 at [j//2, j//2 + w_out_p).
+        whp = -(-(k + w_out_p + 1) // sub) * sub
+        wp = 2 * whp
+    else:
+        whp = 0
+        wp = (w_out_p - 1) * sw + 2 * k + 2
+        wp = -(-wp // sub) * sub
     # Natural NTHWC pad (no input transpose), flattened to rank 3.
     xp = lax.pad(
         x,
@@ -179,6 +209,10 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
             (0, cp - c, 0),
         ],
     )
+    if sw == 2:
+        # XLA-side W de-interleave (strided slices are only illegal inside
+        # the kernel): padded col m -> half m%2, index m//2.
+        xp = jnp.concatenate([xp[..., 0::2, :], xp[..., 1::2, :]], axis=3)
     xp3 = xp.reshape(n * tp * hp, wp, cp)
 
     itemsize = jnp.dtype(x.dtype).itemsize
@@ -191,7 +225,7 @@ def rubiks_shift_3d_fused(x, shift, stride, padding, quantize, max_shift):
     kernel = functools.partial(
         _kernel,
         taps=taps, t_out=t_out, hp=hp, tp=tp, th=th, hw_in=hw_in, wp=wp,
-        w_out=w_out_p, c=cp, s_h=sh, s_w=sw, n_h=n_h,
+        w_out=w_out_p, c=cp, s_h=sh, s_w=sw, n_h=n_h, whp=whp,
     )
 
     out = pl.pallas_call(
