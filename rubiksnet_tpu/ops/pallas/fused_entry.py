@@ -175,6 +175,10 @@ def _kernel(
     tho = t_len * ho
     first = jnp.logical_and(pl.program_id(0) == 0, s == 0)
     mdt = x_ref.dtype  # matmul operand dtype
+    # f32 operands at DEFAULT precision go through the MXU as bf16 passes;
+    # force exact f32 so the compiled kernel matches interpret mode (the
+    # on-chip artifact's vs-interpret leg). bf16 operands are native.
+    prec = jax.lax.Precision.HIGHEST if mdt == f32 else None
 
     @pl.when(first)
     def _zero():
@@ -193,12 +197,14 @@ def _kernel(
 
     def gate_from_mean(m):
         y1 = jnp.maximum(
-            jnp.dot(m, se_ref[0], preferred_element_type=f32), 0
+            jnp.dot(m, se_ref[0], preferred_element_type=f32,
+                    precision=prec), 0
         )
         y2 = jax.lax.dot_general(
             y1, se_ref[1],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32,
+            precision=prec,
         )
         return jax.nn.sigmoid(y2)
 
@@ -214,7 +220,8 @@ def _kernel(
             # staged for phase C.
             ad = a.reshape(h_len // 2, 2, 2 * whi, cin)[:, 0][:, 0:wop, :]
             sc = jnp.dot(ad.astype(mdt).reshape(ho * wop, cin),
-                         wsc_ref[...], preferred_element_type=f32)
+                         wsc_ref[...], preferred_element_type=f32,
+                         precision=prec)
             scbuf[pl.ds(gi * tho + s * ho, ho)] = sc.reshape(ho, wop, mid)
 
             # Main path into the halo buffer (fresh zero borders), halves
@@ -223,7 +230,8 @@ def _kernel(
             fbase = gi * fhp + (k + s) * hp
             cbuf[pl.ds(fbase, hp)] = jnp.zeros((hp, wph, mid), cbuf.dtype)
             bm = jnp.dot(a.astype(mdt).reshape(h_len * 2 * whi, cin),
-                         w2_ref[...], preferred_element_type=f32)
+                         w2_ref[...], preferred_element_type=f32,
+                         precision=prec)
             cm = jnp.maximum(bm * bn2_s + bn2_b, 0).astype(
                 cbuf.dtype).reshape(h_len, 2 * whi, mid)
             rows = pl.ds(fbase + k, h_len)
@@ -293,7 +301,7 @@ def _kernel(
         def finish(gi, r0, vd):
             e = jnp.dot(vd.astype(mdt).reshape(
                 vd.shape[0] * wop, mid), w3_ref[...],
-                preferred_element_type=f32)
+                preferred_element_type=f32, precision=prec)
             res = e.reshape(vd.shape[0], wop, mid) + scbuf[
                 pl.ds(gi * tho + t * ho + r0, vd.shape[0])]
             out_ref[gi, pl.ds(r0, vd.shape[0])] = (
