@@ -244,6 +244,38 @@ def main():
                     shape, k, dtype):
                 time_one("frames_vpu_ms", lambda xv: fused_frames_run(
                     xv, vt, wm, max_shift=k, mxu_taps=False))
+            if configs & {"framesse", "unfusedse"}:
+                # SE-bearing variants — the real Large tier is SE
+                # everywhere, and SE changes the per-frame schedule cost
+                # (H-chunked plans compute the taps twice for the gate).
+                separams, sestats = make_blocks(c, nb, k, dtype, seed=1,
+                                                se_reduction=12)
+                sevt, sewm = stack_block_params(separams, sestats, dtype, k)
+                se_w = stack_se_params(separams)
+                if "framesse" in configs and fused_frames_supported(
+                        shape, k, dtype, se=True):
+                    from rubiksnet_tpu.ops.pallas.fused_frames import (
+                        pick_frames_plan,
+                    )
+                    case["frames_se_plan"] = [
+                        str(v) for v in pick_frames_plan(
+                            shape, k, dtype, se=True)]
+                    time_one("frames_se_ms", lambda xv: fused_frames_run(
+                        xv, sevt, sewm, se_w, max_shift=k))
+                if "unfusedse" in configs:
+                    seblock = RubiksShiftBlock(
+                        in_planes=c, out_planes=c, stride=1, use_se=12,
+                        shift_backend="conv", shift_max_shift=k,
+                        dtype=dtype)
+
+                    def unfused_se(xv):
+                        for pp, ss in zip(separams, sestats):
+                            xv = seblock.apply(
+                                {"params": pp, "batch_stats": ss}, xv,
+                                False)
+                        return xv
+
+                    time_one("unfused_se_ms", unfused_se)
             tile_h = pick_htile(shape, nb, k, dtype)
             case["tile_h"] = tile_h
             if tile_h is not None:
