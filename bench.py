@@ -87,9 +87,13 @@ def main():
                    help="run all batch sizes in this process (default: each "
                         "batch size runs in a child process with a timeout, "
                         "so one wedged compile cannot hang the whole bench)")
-    p.add_argument("--per-batch-timeout", type=int, default=900,
-                   help="seconds allowed per batch size in child-process mode")
+    p.add_argument("--per-batch-timeout", type=int, default=None,
+                   help="seconds allowed per batch size in child-process "
+                        "mode (default 900; 2700 in train mode, whose remat "
+                        "backward graph compiles far slower)")
     args = p.parse_args()
+    if args.per_batch_timeout is None:
+        args.per_batch_timeout = 2700 if args.mode == "train" else 900
     if args.sweep:
         args.batch_sizes = SWEEP_BATCHES
 
@@ -280,20 +284,19 @@ def supervise(args):
         "--warmup", str(args.warmup), "--mode", args.mode,
     ]
 
-    def run_child(bs, attempt):
+    def run_child(bs, attempt, timeout):
         cmd = base_cmd + ["--batch-sizes", str(bs)]
         if args.trace:
             cmd += ["--trace", os.path.join(args.trace, f"bs{bs}")]
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True,
-                timeout=args.per_batch_timeout,
+                cmd, capture_output=True, text=True, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
             print(f"warning: bs={bs} (attempt {attempt}): timed out after "
-                  f"{args.per_batch_timeout}s (wedged compile?)",
+                  f"{timeout}s (slow or wedged compile)",
                   file=sys.stderr, flush=True)
-            return None
+            return "timeout"
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines())
              if ln.startswith("{")), None)
@@ -305,11 +308,17 @@ def supervise(args):
         return json.loads(line)
 
     for bs in args.batch_sizes:
-        # One retry per batch size: the persistent compile cache (see
-        # utils/platform.py) makes the retry a warm start, so a first-compile
-        # timeout no longer permanently loses the data point.
-        out = run_child(bs, 1) or run_child(bs, 2)
-        if out is None:
+        # One retry per batch size. After a crash the persistent compile
+        # cache (utils/platform.py) makes the retry a warm start; after a
+        # TIMEOUT the cache holds nothing (only finished executables are
+        # stored), so the retry gets a doubled window — an identical window
+        # cannot succeed when tracing alone exceeds it.
+        out = run_child(bs, 1, args.per_batch_timeout)
+        if out == "timeout":
+            out = run_child(bs, 2, 2 * args.per_batch_timeout)
+        elif out is None:
+            out = run_child(bs, 2, args.per_batch_timeout)
+        if not isinstance(out, dict):
             continue
         metric = out["metric"]
         vs = out["vs_baseline"]
