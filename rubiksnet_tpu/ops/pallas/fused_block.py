@@ -669,12 +669,17 @@ def stack_block_params(block_params, block_stats, dtype, max_shift,
                          s["bn2"]["mean"], s["bn2"]["var"])
         # Tap weights are built in the compute dtype (matching the conv
         # backend's shift.astype(x.dtype) semantics), then carried in f32.
-        # The last tap (offset +K+1) is identically zero whenever |s| <= K
-        # (its weight is frac(s - K), only nonzero for s > K, which already
-        # violates the max_shift bound for every backend) — trim it
-        # statically: 2K+1 taps instead of 2K+2, one fewer tap matmul per
-        # axis stage in the fused kernels.
-        tn = 2 * max_shift + 1
+        # Fractional mode: the last tap (offset +K+1) is identically zero
+        # whenever |s| <= K (its weight is frac(s - K), only nonzero for
+        # s > K, which already violates the max_shift bound for every
+        # backend) — trim it statically: 2K+1 taps instead of 2K+2, one
+        # fewer tap matmul per axis stage in the fused kernels.
+        # Quantize mode MUST keep all 2K+2 taps: rounding places a one-hot
+        # at floor(s)+1 whenever frac(s) >= 0.5 (conv_backend._shift_kernel;
+        # cuda_src/rubiks3d_kernels.cu:76-93 gathers at the *rounded* cell),
+        # so any shift in (K+0.5, K+1] lands exactly on the offset-(K+1)
+        # tap — trimming it silently zeroes that channel.
+        tn = 2 * max_shift + 2 if quantize else 2 * max_shift + 1
         shift = p["as3"]["rubiks3d"]["shift"].astype(dtype)
         taps = jnp.concatenate([
             _shift_kernel(shift[0], dtype, max_shift, quantize)[:tn],

@@ -455,7 +455,10 @@ def stack_entry_params(p, s, dtype, max_shift, quantize=False):
     s2, b2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
                      s["bn2"]["mean"], s["bn2"]["var"])
     shift = p["as3"]["rubiks3d"]["shift"].astype(dtype)  # (3, mid)
-    tn = 2 * max_shift + 1  # offset-(K+1) tap is identically zero; trimmed
+    # Fractional mode: the offset-(K+1) tap is identically zero — trimmed.
+    # Quantize mode keeps all 2K+2 taps: rounding can place the one-hot at
+    # offset K+1 for shifts in (K+0.5, K+1] (see fused_block.py).
+    tn = 2 * max_shift + 2 if quantize else 2 * max_shift + 1
     taps = jnp.concatenate([
         _shift_kernel(shift[0], dtype, max_shift, quantize)[:tn],
         _shift_kernel(shift[1], dtype, max_shift, quantize)[:tn],

@@ -195,9 +195,11 @@ def test_fused_block_htiled_matches_whole():
 
 @pytest.mark.parametrize("quantize", [False, True])
 def test_fused_block_boundary_shifts(quantize):
-    """Shifts exactly at the +-K bound and at integer crossings: the tap at
-    offset K+1 is trimmed from the stacked params (identically zero for
-    |s| <= K), so the boundary values must still match the unfused chain."""
+    """Shifts exactly at the +-K bound and at integer crossings: in
+    fractional mode the tap at offset K+1 is trimmed from the stacked params
+    (identically zero for |s| <= K); quantize mode keeps all 2K+2 taps (the
+    rounded one-hot can land at offset K+1). Boundary values must match the
+    unfused chain either way."""
     c, max_shift = 128, 1
     params, stats = _make_blocks(jax.random.PRNGKey(9), 1, c, 0.9)
     edge = np.resize(
@@ -209,7 +211,8 @@ def test_fused_block_boundary_shifts(quantize):
     x = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 6, 6, c), jnp.float32)
     vt, wm = stack_block_params(params, stats, x.dtype, max_shift,
                                 quantize=quantize)
-    assert vt.shape[1] == 4 + 3 * (2 * max_shift + 1)  # trimmed layout
+    tn = 2 * max_shift + 2 if quantize else 2 * max_shift + 1
+    assert vt.shape[1] == 4 + 3 * tn
     got = fused_block_run(x, vt, wm, max_shift=max_shift)
     block = RubiksShiftBlock(
         in_planes=c, out_planes=c, stride=1, shift_backend="conv",
@@ -218,6 +221,52 @@ def test_fused_block_boundary_shifts(quantize):
     want = block.apply(
         {"params": params[0], "batch_stats": stats[0]}, x, False
     )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+def test_fused_block_quantize_keeps_k_plus_1_tap(mxu):
+    """Regression (VERDICT r3 weak #1): a quantized shift in (K+0.5, K+1]
+    rounds to K+1, landing its one-hot exactly on the tap the fractional-mode
+    trim drops (cuda_src/rubiks3d_kernels.cu:76-93 gathers at the ROUNDED
+    cell). The trimmed layout zeroed those channels silently; the stacked
+    taps must sum to 1 per channel and the fused path must match unfused."""
+    c, max_shift = 128, 1
+    params, stats = _make_blocks(jax.random.PRNGKey(31), 2, c, 0.9)
+    # Channels covering every rounding regime whose rounded cell stays in
+    # the [-K, K+1] window, incl. the critical (K+0.5, K+1] band. (-1.5
+    # rounds to -1; anything below rounds to -2 = out of the static bound,
+    # where every backend agrees on zero — not this test's subject.)
+    hot = np.resize(
+        np.array([1.6, 1.51, 1.99, -1.5, 0.7, -0.7, 1.4, 0.0], np.float32), c
+    )
+    cold = np.resize(
+        np.array([0.51, -1.2, 1.5, 2.0, -0.49, 0.0, 1.49, -1.0], np.float32),
+        c,
+    )
+    for p in params:
+        p["as3"]["rubiks3d"]["shift"] = jnp.stack(
+            [jnp.asarray(hot), jnp.asarray(cold), jnp.asarray(hot)]
+        )
+    vt, wm = stack_block_params(params, stats, jnp.float32, max_shift,
+                                quantize=True)
+    tn = 2 * max_shift + 2
+    assert vt.shape[1] == 4 + 3 * tn
+    # Every axis's tap column must carry exactly one unit weight per channel.
+    taps = np.asarray(vt[:, 4:, :]).reshape(len(params), 3, tn, c)
+    np.testing.assert_allclose(taps.sum(axis=2), 1.0, atol=0)
+    x = jax.random.normal(jax.random.PRNGKey(32), (1, 4, 6, 6, c),
+                          jnp.float32)
+    got = fused_block_run(x, vt, wm, max_shift=max_shift, mxu_taps=mxu)
+    block = RubiksShiftBlock(
+        in_planes=c, out_planes=c, stride=1, shift_backend="conv",
+        shift_max_shift=max_shift, dtype=x.dtype, quantize=True,
+    )
+    want = x
+    for p, s in zip(params, stats):
+        want = block.apply({"params": p, "batch_stats": s}, want, False)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )

@@ -67,11 +67,24 @@ def test_fused_infer_matches_model_aq():
 def test_fused_infer_matches_model_quantize():
     """quantize=True must flow through the fused executor's tap weights
     (one-hot kernels); a silently non-quantized fused path would diverge from
-    the regular apply here."""
+    the regular apply here. Shifts are pushed into the (K+0.5, K+1] band on
+    some channels so the rounded one-hot lands on the offset-(K+1) tap
+    (regression: the fractional-mode tap trim silently zeroed them)."""
     bundle = create_rubiksnet(
         "tiny", num_classes=6, num_frames=3, input_size=32, quantize=True,
         shift_backend="conv", shift_max_shift=2,
     )
+    hot = jnp.asarray([2.6, -0.4, 1.7, 2.51, 0.0, -2.5], jnp.float32)
+
+    def _heat(path, leaf):
+        if any(getattr(k, "key", None) == "rubiks3d" for k in path) and (
+                leaf.ndim == 2 and leaf.shape[0] == 3):
+            return jnp.resize(hot, leaf.shape)
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(
+        _heat, dict(bundle.variables["params"]))
+    bundle.variables["params"] = params
     video = jax.random.normal(
         jax.random.PRNGKey(3), (2, 3, 32, 32, 3), jnp.float32
     )
