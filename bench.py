@@ -61,11 +61,13 @@ SWEEP_BATCHES = [1, 2, 4, 8, 16, 32, 64, 96, 128, 192, 256]
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tier", default="large")
-    # 6 default points (VERDICT r2 #6): the per-batch child processes share
-    # the persistent compile cache, so later runs (including the driver's)
-    # are warm starts.
+    # 6 default points (VERDICT r2 #6), flagship-first (VERDICT r3 #1): the
+    # bs64/96 production points run before the cheap tails, so a supervisor
+    # killed mid-run has already persisted the numbers that matter. The
+    # per-batch child processes share the persistent compile cache, so later
+    # runs (including the driver's) are warm starts.
     p.add_argument("--batch-sizes", type=int, nargs="+",
-                   default=[1, 8, 32, 64, 96, 128])
+                   default=[64, 96, 32, 128, 8, 1])
     p.add_argument("--sweep", action="store_true",
                    help=f"benchmark the full batch curve {SWEEP_BATCHES}")
     p.add_argument("--frames", type=int, default=8)
@@ -91,7 +93,16 @@ def main():
                    help="seconds allowed per batch size in child-process "
                         "mode (default 900; 2700 in train mode, whose remat "
                         "backward graph compiles far slower)")
+    p.add_argument("--total-budget", type=int, default=None,
+                   help="total wall-clock seconds for the whole supervised "
+                        "run (default: env RUBIKS_BENCH_BUDGET_S or 2400). "
+                        "Children are never launched with a window larger "
+                        "than what remains; when the budget runs out the "
+                        "merged partial result is the final output")
     args = p.parse_args()
+    if args.total_budget is None:
+        args.total_budget = int(
+            os.environ.get("RUBIKS_BENCH_BUDGET_S", "2400"))
     if args.per_batch_timeout is None:
         args.per_batch_timeout = 2700 if args.mode == "train" else 900
     if args.sweep:
@@ -266,16 +277,27 @@ def main():
 
 def supervise(args):
     """Run each batch size as `bench.py --in-process --batch-sizes N` in a
-    child process with a timeout, then merge the JSON lines.
+    child process with a timeout, merging and EMITTING the partial result
+    after every child.
 
     Rationale: on this runtime a wedged remote compile helper can hang a
     compile indefinitely; a hung child is killed and skipped so the bench
-    always emits a result for the sizes that did run."""
+    always emits a result for the sizes that did run. The whole run is
+    bounded by --total-budget wall-clock seconds, children never get a
+    window larger than what remains, and the merged partial is printed and
+    persisted after EVERY child — so a supervisor killed at any point (the
+    round-3 failure: the driver's own timeout) still leaves the completed
+    batches' number both on stdout and on disk (VERDICT r3 #1)."""
     import subprocess
     import sys
 
+    t0 = time.monotonic()
+
+    def remaining():
+        return args.total_budget - (time.monotonic() - t0)
+
     merged_results, merged_util, merged_ratio = {}, {}, {}
-    metric = vs = device = None
+    metric = device = None
     base_cmd = [
         sys.executable, os.path.abspath(__file__), "--in-process",
         "--tier", args.tier, "--frames", str(args.frames),
@@ -294,7 +316,7 @@ def supervise(args):
             )
         except subprocess.TimeoutExpired:
             print(f"warning: bs={bs} (attempt {attempt}): timed out after "
-                  f"{timeout}s (slow or wedged compile)",
+                  f"{timeout:.0f}s (slow or wedged compile)",
                   file=sys.stderr, flush=True)
             return "timeout"
         line = next(
@@ -307,92 +329,120 @@ def supervise(args):
             return None
         return json.loads(line)
 
-    for bs in args.batch_sizes:
-        # One retry per batch size. After a crash the persistent compile
-        # cache (utils/platform.py) makes the retry a warm start; after a
-        # TIMEOUT the cache holds nothing (only finished executables are
-        # stored), so the retry gets a doubled window — an identical window
-        # cannot succeed when tracing alone exceeds it.
-        out = run_child(bs, 1, args.per_batch_timeout)
-        if out == "timeout":
-            out = run_child(bs, 2, 2 * args.per_batch_timeout)
-        elif out is None:
-            out = run_child(bs, 2, args.per_batch_timeout)
+    last_good = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LAST_GOOD.json")
+
+    def merged(partial_note=None):
+        """Assemble the merged result dict from whatever has finished."""
+        best_bs, best = None, 0.0
+        suspect = []
+        for k, v in merged_results.items():
+            # Sanity gate: a capture implying >100% of HBM bandwidth is a
+            # timing artifact of the unstable tunnel, not a real
+            # throughput — it must not become the headline (ADVICE r2: the
+            # persisted 1105 clips/s capture recorded hbm_util 1.16).
+            if merged_util.get(k, {}).get("hbm_util", 0.0) > 1.0:
+                suspect.append(k)
+                continue
+            if v > best:
+                best, best_bs = v, k
+        clean = [v for k, v in merged_results.items() if k not in suspect]
+        median = float(np.median(clean)) if clean else 0.0
+        return {
+            "metric": metric or f"clips/sec/chip RubiksNet-"
+                                f"{args.tier.capitalize()} "
+                                f"(no batch completed)",
+            "value": round(best, 2),
+            "unit": "clips/s",
+            "vs_baseline": (round(best / BASELINE_CLIPS_PER_SEC, 3)
+                            if args.mode != "train" else None),
+            "detail": {
+                "batch_sweep": merged_results,
+                "best_batch": int(best_bs) if best_bs is not None else None,
+                "median_over_batches": round(median, 2),
+                "suspect_batches": suspect,
+                "utilization": merged_util,
+                "device": device,
+                # Which executor-scheduling env knobs were active (children
+                # inherit them), so a capture is traceable to its config.
+                "fused_env": {k: v for k, v in sorted(os.environ.items())
+                              if k.startswith("RUBIKS_FUSED")},
+                **({"train_step_over_forward": merged_ratio}
+                   if merged_ratio else {}),
+                **({"partial": partial_note} if partial_note else {}),
+            },
+        }
+
+    def persist_and_emit(result):
+        # Persist the most recent sanity-passing flagship TPU capture as
+        # the stale-fallback source (NOT a best-ever ratchet: on a runtime
+        # with 4x session variance a ratchet keeps an outlier as the
+        # headline forever), then print the merged-so-far line. Callers
+        # that tail stdout always see the freshest complete merge.
+        if (result["detail"]["best_batch"] is not None
+                and args.mode != "train" and args.tier == "large"
+                and device and "TPU" in str(device)):
+            try:
+                with open(last_good, "w") as f:
+                    json.dump(result, f)
+            except OSError:
+                pass
+        print(json.dumps(result), flush=True)
+
+    todo = list(args.batch_sizes)
+    for i, bs in enumerate(todo):
+        # Floor: don't bother launching into a window where even a fully
+        # warm child (compile cached, ~32 timed iters) cannot finish.
+        if remaining() < 120:
+            print(f"warning: total budget {args.total_budget}s exhausted; "
+                  f"skipping batch sizes {todo[i:]}",
+                  file=sys.stderr, flush=True)
+            break
+        window = min(args.per_batch_timeout, remaining())
+        # One retry per batch size, budget permitting. After a crash the
+        # persistent compile cache (utils/platform.py) makes the retry a
+        # warm start. After a TIMEOUT the retry gets a doubled window —
+        # the kill may have landed mid-compile, and while some
+        # sub-executables can already sit in the cache, only a larger
+        # window guarantees progress in the fully cold case.
+        out = run_child(bs, 1, window)
+        if out == "timeout" and remaining() > 120:
+            out = run_child(bs, 2, min(2 * args.per_batch_timeout,
+                                       remaining()))
+        elif out is None and remaining() > 120:
+            out = run_child(bs, 2, min(args.per_batch_timeout, remaining()))
         if not isinstance(out, dict):
             continue
         metric = out["metric"]
-        vs = out["vs_baseline"]
         device = out["detail"].get("device")
         merged_results.update(out["detail"]["batch_sweep"])
         merged_util.update(out["detail"].get("utilization", {}))
         merged_ratio.update(out["detail"].get("train_step_over_forward", {}))
+        note = (f"{i + 1}/{len(todo)} batch sizes merged"
+                if i + 1 < len(todo) else None)
+        persist_and_emit(merged(partial_note=note))
 
-    last_good = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_LAST_GOOD.json")
-    if not merged_results:
-        # Every child failed (on this runtime: a wedged remote compile
-        # helper hangs every compile indefinitely). Emit the last
-        # successful capture, clearly marked stale, rather than a zero.
-        try:
-            with open(last_good) as f:
-                out = json.load(f)
-            out["detail"]["stale"] = True
-            out["detail"]["stale_reason"] = (
-                "no batch size completed this run (remote compile helper "
-                "unreachable/wedged); value is the last successful capture"
-            )
-            print(json.dumps(out))
-            return
-        except OSError:
-            pass
-
-    best_bs, best = None, 0.0
-    suspect = []
-    for k, v in merged_results.items():
-        # Sanity gate: a capture implying >100% of HBM bandwidth is a timing
-        # artifact of the unstable tunnel, not a real throughput — it must
-        # not become the headline (ADVICE r2: the persisted 1105 clips/s
-        # capture recorded hbm_util 1.16).
-        if merged_util.get(k, {}).get("hbm_util", 0.0) > 1.0:
-            suspect.append(k)
-            continue
-        if v > best:
-            best, best_bs = v, k
-    clean = [v for k, v in merged_results.items() if k not in suspect]
-    median = float(np.median(clean)) if clean else 0.0
-    result = {
-        "metric": metric or f"clips/sec/chip RubiksNet-"
-                            f"{args.tier.capitalize()} (no batch completed)",
-        "value": round(best, 2),
-        "unit": "clips/s",
-        "vs_baseline": (round(best / BASELINE_CLIPS_PER_SEC, 3)
-                        if args.mode != "train" else None),
-        "detail": {
-            "batch_sweep": merged_results,
-            "best_batch": int(best_bs) if best_bs is not None else None,
-            "median_over_batches": round(median, 2),
-            "suspect_batches": suspect,
-            "utilization": merged_util,
-            "device": device,
-            # Which executor-scheduling env knobs were active (children
-            # inherit them), so a capture is traceable to its config.
-            "fused_env": {k: v for k, v in sorted(os.environ.items())
-                          if k.startswith("RUBIKS_FUSED")},
-            **({"train_step_over_forward": merged_ratio}
-               if merged_ratio else {}),
-        },
-    }
-    # Persist the most recent sanity-passing flagship TPU capture as the
-    # stale-fallback source (NOT a best-ever ratchet: on a runtime with 4x
-    # session variance a ratchet keeps an outlier as the headline forever).
-    if (best_bs is not None and args.mode != "train" and args.tier == "large"
-            and device and "TPU" in str(device)):
-        try:
-            with open(last_good, "w") as f:
-                json.dump(result, f)
-        except OSError:
-            pass
-    print(json.dumps(result))
+    if merged_results:
+        # Final authoritative line: the merged result with no partial note
+        # (covers a trailing failed child or a budget-truncated sweep).
+        persist_and_emit(merged())
+        return
+    # Every child failed (on this runtime: a wedged remote compile
+    # helper hangs every compile indefinitely). Emit the last
+    # successful capture, clearly marked stale, rather than a zero.
+    try:
+        with open(last_good) as f:
+            out = json.load(f)
+        out["detail"]["stale"] = True
+        out["detail"]["stale_reason"] = (
+            "no batch size completed this run (remote compile helper "
+            "unreachable/wedged); value is the last successful capture"
+        )
+        print(json.dumps(out))
+        return
+    except OSError:
+        pass
+    print(json.dumps(merged()))
 
 
 if __name__ == "__main__":
