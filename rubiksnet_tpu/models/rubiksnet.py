@@ -47,6 +47,7 @@ class RubiksNet(nn.Module):
     shift_backend: str = "gather"
     shift_max_shift: int = 4
     remat: bool = False
+    scan_blocks: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -63,6 +64,7 @@ class RubiksNet(nn.Module):
             shift_backend=self.shift_backend,
             shift_max_shift=self.shift_max_shift,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
             name="backbone",
         )
@@ -129,6 +131,23 @@ class RubiksNetBundle:
     def __call__(self, video, train: bool = False, mutable=False):
         return self.model.apply(self.variables, video, train=train, mutable=mutable)
 
+    def to_scanned(self):
+        """Same weights, scanned-stage layout (see nn/backbone.py): the
+        repeated stride-1 blocks run under one lax.scan with stacked params.
+        Use for training large tiers (the serialized graph is ~6x smaller).
+        """
+        from .scan_convert import bundle_to_scanned
+
+        return bundle_to_scanned(self)
+
+    def to_unrolled(self):
+        """Inverse of to_scanned: back to the canonical per-block layout
+        (what checkpoints store and the fused inference executor consumes).
+        """
+        from .scan_convert import bundle_to_unrolled
+
+        return bundle_to_unrolled(self)
+
     def replace_new_fc(self, num_classes: int, rng=None):
         """Fresh classification head (models.py:64-65)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -140,6 +159,8 @@ class RubiksNetBundle:
             quantize=self.model.quantize,
             shift_backend=self.model.shift_backend,
             shift_max_shift=self.model.shift_max_shift,
+            remat=self.model.remat,
+            scan_blocks=self.model.scan_blocks,
             dtype=self.model.dtype,
         )
         feature_dim = 8 * TIERS[self.model.tier][0]
@@ -168,6 +189,7 @@ def create_rubiksnet(
     shift_backend: str = "gather",
     shift_max_shift: int = 4,
     remat: bool = False,
+    scan_blocks: bool = False,
 ) -> RubiksNetBundle:
     """Build a randomly initialized RubiksNet (the functional analogue of
     RubiksNet(...) construction in the reference)."""
@@ -181,6 +203,7 @@ def create_rubiksnet(
         shift_backend=shift_backend,
         shift_max_shift=shift_max_shift,
         remat=remat,
+        scan_blocks=scan_blocks,
         dtype=dtype,
     )
     dummy = jnp.zeros((1, num_frames, input_size, input_size, 3), jnp.float32)

@@ -126,6 +126,68 @@ class RubiksShiftBlock(nn.Module):
         return out + shortcut
 
 
+class BlockScanBody(nn.Module):
+    """One iteration of a scanned stage: a single stride-1, equal-width
+    RubiksShiftBlock with the (carry, ys) calling convention nn.scan needs.
+
+    Used by RubiksNetBackbone(scan_blocks=True) to collapse the structurally
+    identical non-entry blocks of a stage (stage3 of Large is 35 of them)
+    into ONE traced block body under lax.scan with stacked params: the
+    serialized train-step HLO shrinks ~6x, which is what lets the Large-tier
+    remat backward through this runtime's graph-size cap (see
+    docs/PERF_NOTES.md). Numerics are identical to the unrolled loop — the
+    same ops run per block, in the same order.
+    """
+
+    planes: int
+    expansion: float = 1.0
+    use_se: Any = False
+    variant: str = "rubiks3d"
+    quantize: bool = False
+    normalize_grad: bool = True
+    init_shift: str = "uniform"
+    shift_backend: str = "gather"
+    shift_max_shift: int = 4
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls = (
+            nn.remat(RubiksShiftBlock, static_argnums=(2,))
+            if self.remat
+            else RubiksShiftBlock
+        )
+        x = block_cls(
+            in_planes=self.planes,
+            out_planes=self.planes,
+            stride=1,
+            expansion=self.expansion,
+            use_se=self.use_se,
+            variant=self.variant,
+            quantize=self.quantize,
+            normalize_grad=self.normalize_grad,
+            init_shift=self.init_shift,
+            shift_backend=self.shift_backend,
+            shift_max_shift=self.shift_max_shift,
+            dtype=self.dtype,
+            name="block",
+        )(x, train)
+        return x, None
+
+
+def scan_stage(length: int):
+    """nn.scan-lifted BlockScanBody over `length` blocks: params and BN
+    batch stats gain a leading (length,) axis; the train flag broadcasts."""
+    return nn.scan(
+        BlockScanBody,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast,),
+        length=length,
+    )
+
+
 class RubiksNetBackbone(nn.Module):
     """Stage layout per rubiksnet/backbone.py:156-200: a 3x3 stride-2 stem,
     then stages [1, r0, r1, r2, r3] of RubiksShiftBlocks with channel widths
@@ -133,6 +195,12 @@ class RubiksNetBackbone(nn.Module):
 
     ``num_classes=None`` omits the classifier head (the RubiksNet model
     replaces it with its own new_fc, models.py:48-50).
+
+    ``scan_blocks=True`` keeps each stage's entry block (stride/width
+    change) unrolled and runs the remaining structurally identical blocks
+    under one lax.scan with stacked params (see BlockScanBody). Parameter
+    layout changes: layer{s}_1..layer{s}_{r-1} become layer{s}_scan/block
+    with a leading block axis — convert with models/scan_convert.py.
     """
 
     width: int
@@ -147,6 +215,7 @@ class RubiksNetBackbone(nn.Module):
     shift_backend: str = "gather"
     shift_max_shift: int = 4
     remat: bool = False
+    scan_blocks: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -174,7 +243,8 @@ class RubiksNetBackbone(nn.Module):
         )
         for stage_idx, (planes, repeat, stride) in enumerate(widths):
             blocks = []
-            for b in range(repeat):
+            unrolled = 1 if self.scan_blocks else repeat
+            for b in range(min(repeat, unrolled)):
                 blocks.append(
                     block_cls(
                         in_planes=in_planes,
@@ -190,6 +260,24 @@ class RubiksNetBackbone(nn.Module):
                         shift_max_shift=self.shift_max_shift,
                         dtype=self.dtype,
                         name=f"layer{stage_idx}_{b}",
+                    )
+                )
+                in_planes = planes
+            if self.scan_blocks and repeat > 1:
+                blocks.append(
+                    scan_stage(repeat - 1)(
+                        planes=planes,
+                        expansion=self.expansion,
+                        use_se=self.use_se,
+                        variant=self.variant,
+                        quantize=self.quantize,
+                        normalize_grad=self.normalize_grad,
+                        init_shift=self.init_shift,
+                        shift_backend=self.shift_backend,
+                        shift_max_shift=self.shift_max_shift,
+                        remat=self.remat,
+                        dtype=self.dtype,
+                        name=f"layer{stage_idx}_scan",
                     )
                 )
                 in_planes = planes
@@ -214,7 +302,9 @@ class RubiksNetBackbone(nn.Module):
         x = self.conv1(x)
         for blocks in self.stages:
             for block in blocks:
-                x = block(x, train)
+                out = block(x, train)
+                # Scanned stages use the (carry, ys) convention; ys is None.
+                x = out[0] if isinstance(out, tuple) else out
         x = nn.relu(self.bn_last(x, use_running_average=not train))
         x = jnp.mean(x, axis=(2, 3))  # global average pool -> (N, T, C)
         if self.num_classes is not None:
