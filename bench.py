@@ -82,6 +82,14 @@ def main():
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", default="infer", choices=["infer", "train"])
+    p.add_argument("--scan-blocks", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="run each stage's repeated blocks under one lax.scan "
+                        "with stacked params (auto = on in train mode: the "
+                        "~6x smaller serialized train graph is what fits the "
+                        "Large backward through this runtime's request-size "
+                        "cap; numerics are identical — tests/test_scan_blocks"
+                        ".py)")
     p.add_argument("--trace", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the timed region "
                         "into DIR (view with xprof/tensorboard)")
@@ -132,10 +140,14 @@ def main():
     # bound at load time), so the static integer-shift bound is exactly 1:
     # floor(shift) is in {-1, 0} and the tap window [-K, K+1] covers it.
     shift_backend = "auto" if args.backend == "fused" else args.backend
+    scan_blocks = (
+        args.mode == "train" if args.scan_blocks == "auto"
+        else args.scan_blocks == "on"
+    )
     bundle = create_rubiksnet(
         args.tier, num_classes=174, num_frames=args.frames, input_size=64,
         dtype=dtype, shift_backend=shift_backend, shift_max_shift=1,
-        remat=args.mode == "train",
+        remat=args.mode == "train", scan_blocks=scan_blocks,
     )
 
     device = jax.devices()[0]
@@ -207,6 +219,7 @@ def main():
         metric = (
             f"train clips/sec/chip RubiksNet-{args.tier.capitalize()} "
             f"{args.frames}-frame {args.size}px {shift_backend}-backend"
+            + (" scanned-stages" if scan_blocks else "")
         )
         vs = None
     else:
@@ -304,6 +317,7 @@ def supervise(args):
         "--size", str(args.size), "--dtype", args.dtype,
         "--backend", args.backend, "--iters", str(args.iters),
         "--warmup", str(args.warmup), "--mode", args.mode,
+        "--scan-blocks", args.scan_blocks,
     ]
 
     def run_child(bs, attempt, timeout):

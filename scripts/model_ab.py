@@ -1,19 +1,25 @@
 """Full-model A/B of executor scheduling choices, interleaved in ONE process.
 
-This runtime's wall clock drifts up to 4x between chip sessions
-(docs/PERF_NOTES.md), so cross-run comparisons of end-to-end throughput are
-meaningless. This script times the complete fused inference forward under
-two (or more) executor configs back-to-back in a single process, A/B/B/A
-ordered, so both sides see the same chip phase.
+This runtime's wall clock drifts up to 4x between chip sessions AND ~2x
+within one session on a minutes timescale (docs/PERF_NOTES.md), so
+cross-run comparisons — and even single mirrored A/B/B/A captures — are not
+decision-grade. This harness times all configs round-robin for --pairs
+rounds in one process (direction alternating each round to cancel linear
+drift), computes each config's PER-ROUND ratio against the first config
+(both sides of a ratio ran seconds apart, so the slow-phase multiplier
+divides out), and reports the MEDIAN ratio over rounds. Defaults flip on
+median ratios, never on single captures (VERDICT r3 #5).
 
-Configs compared (RubiksNet-Large, bf16, K=1, 8x224 clips):
+Configs (RubiksNet-Large, bf16, K=1, 8x224 clips):
   ws1: per-frame kernel only for clean plans (ws == 1: stage1), stage0
        unfused — the executor default
   all: per-frame kernel wherever it fits (stage0's ws=7 plan included)
   off: all early stages on the unfused conv-backend chain (round-2
        behavior)
+  entry/hs/sebatch/...: candidate default flips (see `env` below)
 
-Writes MODEL_AB.json. Usage: python scripts/model_ab.py [--batch 64]
+Writes MODEL_AB.json. Usage:
+  python scripts/model_ab.py --configs ws1,entry --pairs 5 [--batch 64]
 """
 
 import argparse
@@ -34,9 +40,13 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--pairs", type=int, default=5,
+                   help="interleaved rounds; each round times every config "
+                        "once and contributes one ratio-vs-first sample")
     p.add_argument("--configs", default="ws1,off",
                    help="comma subset of {ws1,all,off,mxu1,mxu0,entry,"
-                        "hs,entryhs,sebatch,entrysb}")
+                        "hs,entryhs,sebatch,entrysb}; the FIRST is the "
+                        "ratio denominator")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -98,41 +108,55 @@ def main():
     }
     configs = {k: forward_with(*v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
-    # Mirrored order: each config timed twice, to cancel drift.
-    order = which + which[::-1]
-    samples = {k: [] for k in which}
-    for label in order:
-        set_env(env[label])
-        dt = time_chained(
-            configs[label], video, n_lo=1, n_hi=args.iters, repeats=2
-        )
-        samples[label].append(dt)
-        print(
-            f"{label}: {dt * 1e3:.2f} ms/batch = "
-            f"{args.batch / dt:.1f} clips/s",
-            flush=True,
-        )
+    base = which[0]
+    # --pairs interleaved rounds, direction alternating per round: every
+    # config is timed once per round, so per-round ratios share the chip
+    # phase and linear drift cancels across the round pair.
+    samples = {k: [] for k in which}  # per-round dt, index = round
+    for rnd in range(args.pairs):
+        order = which if rnd % 2 == 0 else which[::-1]
+        for label in order:
+            set_env(env[label])
+            dt = time_chained(
+                configs[label], video, n_lo=1, n_hi=args.iters, repeats=2
+            )
+            samples[label].append(dt)
+            print(
+                f"[round {rnd + 1}/{args.pairs}] {label}: "
+                f"{dt * 1e3:.2f} ms/batch = {args.batch / dt:.1f} clips/s",
+                flush=True,
+            )
+
+    def median(v):
+        return float(np.median(v))
 
     out = {
         "device": str(jax.devices()[0]),
         "batch": args.batch,
         "tier": args.tier,
-        "order": order,
+        "rounds": args.pairs,
+        "baseline_config": base,
         "configs": {
             k: {
                 "ms_per_batch": [round(s * 1e3, 2) for s in v],
                 "clips_per_s": [round(args.batch / s, 1) for s in v],
+                "median_clips_per_s": round(args.batch / median(v), 1),
                 "best_clips_per_s": round(args.batch / min(v), 1),
             }
             for k, v in samples.items()
         },
+        # Decision statistic: median over rounds of (base dt / config dt),
+        # each ratio computed within one round. > 1.0 means faster than the
+        # first config.
+        "median_ratio_vs_" + base: {
+            k: round(median([b / s for b, s in zip(samples[base], v)]), 3)
+            for k, v in samples.items() if k != base
+        },
+        "ratio_spread_vs_" + base: {
+            k: [round(b / s, 3) for b, s in zip(samples[base], v)]
+            for k, v in samples.items() if k != base
+        },
     }
-    if "off" in samples:
-        for k in samples:
-            if k != "off":
-                out[f"{k}_speedup_vs_off"] = round(
-                    min(samples["off"]) / min(samples[k]), 3
-                )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"out": args.out}))

@@ -15,6 +15,9 @@ Checks:
   2. fused one-pass shift kernel (ops/pallas/fused_shift3d.py) vs the
      select backend, stride 1 and the de-interleaved stride-2 path;
   2c. fused strided entry-block kernel (ops/pallas/fused_entry.py);
+  2d. one-pass (3, C) shift-gradient kernel (ops/pallas/shift_grad_kernel.py)
+      vs the select-unroll, at the Large stage shapes (C=288/576) where the
+      >=0.7-lane-occupancy auto heuristic picks it for training;
   3/4. fused end-to-end Large-tier inference (plain + AQ) vs model.apply.
 
 Usage: python scripts/pallas_tpu_check.py [--out PALLAS_TPU_OK.json]
@@ -245,6 +248,29 @@ def main():
                  "err_vs_unfused": err_unfused, "tol": tol},
                 err_interp < tol and err_unfused < max(tol, 2e-2))
 
+    # --- 2d. one-pass shift-grad kernel vs the select-unroll, at the Large
+    # stage shapes the auto heuristic routes to it during training
+    # (C=288 stage2 / C=576 stage3 lane occupancies are 1.0 >= 0.7). ---
+    def check_shift_grad(dtype, tol, c, hw, max_shift):
+        from rubiksnet_tpu.ops.auto_backend import choose_shift_grad_backend
+        from rubiksnet_tpu.ops.shift3d import rubiks_shift_3d_shift_grad
+
+        shape = (2, 8, hw, hw, c)
+        x = jax.random.normal(jax.random.PRNGKey(41), shape, dtype)
+        og = jax.random.normal(jax.random.PRNGKey(42), shape, dtype)
+        hi = float(max_shift) - 0.1
+        shift = jax.random.uniform(
+            jax.random.PRNGKey(43), (3, c), jnp.float32, -hi, hi)
+        picked = choose_shift_grad_backend(
+            shape, shape, (1, 1, 1), (0, 0, 0), max_shift, dtype)
+        got = jax.jit(lambda og_, x_: rubiks_shift_3d_shift_grad(
+            og_, x_, shift, backend="pallas", max_shift=max_shift))(og, x)
+        want = jax.jit(lambda og_, x_: rubiks_shift_3d_shift_grad(
+            og_, x_, shift, backend="select", max_shift=max_shift))(og, x)
+        err = _nerr(got, want)
+        return ({"err_vs_select": err, "tol": tol, "auto_picks": picked},
+                err < tol and picked == "pallas")
+
     # --- 3/4. fused end-to-end Large inference vs regular apply (bf16) ---
     def check_fused_infer(variant, use_entry):
         bundle = create_rubiksnet(
@@ -292,6 +318,14 @@ def main():
          lambda: check_fused_entry(jnp.float32, 1e-4)),
         ("fused_entry_bfloat16",
          lambda: check_fused_entry(jnp.bfloat16, 5e-2)),
+        ("shift_grad_c288_float32",
+         lambda: check_shift_grad(jnp.float32, 1e-3, 288, 14, 2)),
+        ("shift_grad_c288_bfloat16",
+         lambda: check_shift_grad(jnp.bfloat16, 5e-2, 288, 14, 2)),
+        ("shift_grad_c576_float32",
+         lambda: check_shift_grad(jnp.float32, 1e-3, 576, 7, 1)),
+        ("shift_grad_c576_bfloat16",
+         lambda: check_shift_grad(jnp.bfloat16, 5e-2, 576, 7, 1)),
         ("fused_infer_large_bf16",
          lambda: check_fused_infer("rubiks3d", False)),
         ("fused_infer_large_entry_bf16",

@@ -89,6 +89,16 @@ def build_args():
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--prefetch-depth", type=int, default=2)
     p.add_argument("--shift-backend", default="auto")
+    p.add_argument("--scan-blocks", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="run each stage's repeated blocks under one lax.scan "
+                        "with stacked params (auto = on: ~6x smaller "
+                        "serialized train graph, identical numerics — "
+                        "tests/test_scan_blocks.py). Checkpoints written by "
+                        "a scanned run store the scanned layout and record "
+                        "it in metadata; resume with the same setting. Final "
+                        "weights export canonical either way via "
+                        "models/scan_convert.py")
     p.add_argument("--no-remat", action="store_true",
                    help="disable rematerialization (NOT safe on the v5e "
                         "runtime for multi-block models; see CLAUDE.md)")
@@ -218,14 +228,17 @@ def main():
                     return
 
     # ---- model / optimizer ---------------------------------------------
+    scan_blocks = args.scan_blocks in ("auto", "on")
     if args.pretrained:
         bundle = load_pretrained(args.pretrained)
         bundle = bundle.replace_new_fc(num_classes)
+        if scan_blocks:
+            bundle = bundle.to_scanned()
     else:
         bundle = create_rubiksnet(
             args.tier, num_classes, args.frames, variant=args.variant,
             input_size=args.input_size, shift_backend=args.shift_backend,
-            remat=not args.no_remat,
+            remat=not args.no_remat, scan_blocks=scan_blocks,
         )
 
     total_steps = args.total_steps or args.steps or (
@@ -312,7 +325,8 @@ def main():
                 metadata={"tier": args.tier, "variant": args.variant,
                           "num_classes": num_classes, "epoch": epoch,
                           "frames": args.frames,
-                          "input_size": args.input_size},
+                          "input_size": args.input_size,
+                          "scan_blocks": scan_blocks},
             )
             print(f"=> saved checkpoint @ step {step}")
 
@@ -351,6 +365,22 @@ def main():
         if not args.val_every:
             run_validation(step)
     maybe_save(step, args.epochs - 1)
+    if args.checkpoint_dir:
+        # Final model weights in the CANONICAL per-block layout (what
+        # load_pretrained / the fused inference executor consume), whatever
+        # layout training ran in.
+        from rubiksnet_tpu.models.pretrained import save_checkpoint
+
+        final = type(bundle)(
+            model=bundle.model,
+            variables={"params": jax.device_get(state.params),
+                       "batch_stats": jax.device_get(state.batch_stats)},
+        )
+        if scan_blocks:
+            final = final.to_unrolled()
+        final_path = os.path.join(args.checkpoint_dir, "model_final.msgpack")
+        save_checkpoint(final, final_path)
+        print(f"=> saved final canonical weights to {final_path}")
     print(f"done: {step - start_step} steps this run "
           f"(global step {step}), final loss {loss_m.avg:.4f}")
 

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=4)
+    p.add_argument("--scan-blocks", action="store_true",
+                   help="scanned-stage layout (lax.scan over repeated "
+                        "blocks): the ~6x smaller serialized train graph "
+                        "that fits Large through the tunnel's request cap")
     p.add_argument("--out", default="TRAIN_TPU_OK.json")
     args = p.parse_args()
 
@@ -45,7 +49,7 @@ def main():
 
     bundle = create_rubiksnet(
         args.tier, num_classes=args.num_classes, num_frames=args.frames,
-        input_size=args.size, remat=True,
+        input_size=args.size, remat=True, scan_blocks=args.scan_blocks,
     )
     tx = sgd_with_shift_mult(lr=0.05, lr_shift_mult=0.1)
     state = jax.device_put(create_train_state(bundle, tx), jax.devices()[0])
@@ -86,6 +90,7 @@ def main():
         "device": dev,
         "on_tpu": jax.default_backend() == "tpu",
         "tier": args.tier,
+        "scan_blocks": bool(args.scan_blocks),
         "batch": args.batch,
         "frames": args.frames,
         "size": args.size,
