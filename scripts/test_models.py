@@ -25,9 +25,22 @@ def main():
     parser = argparse.ArgumentParser(
         description="RubiksNet testing on the full validation set"
     )
-    parser.add_argument("dataset", type=str)
+    parser.add_argument("dataset", type=str, nargs="?", default=None,
+                        help="registry dataset name; omit when giving "
+                             "--val-list/--image-tmpl directly")
     parser.add_argument("-p", "--pretrained", type=str, required=True)
     parser.add_argument("--root-path", type=str, default="./")
+    parser.add_argument("--val-list", type=str, default=None,
+                        help="path to a '<folder> <n_frames> <label>' list "
+                             "file (bypasses the dataset registry)")
+    parser.add_argument("--image-tmpl", type=str, default="{:05d}.jpg",
+                        help="frame filename template (with --val-list)")
+    parser.add_argument("--num-classes", type=int, default=None,
+                        help="class count (with --val-list)")
+    parser.add_argument("--stats-out", type=str, default=None,
+                        help="write an end-to-end throughput artifact "
+                             "(videos/s, host-wait and device split) to "
+                             "this JSON path")
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--two-clips", action="store_true")
     parser.add_argument("--batch-size", type=int, default=80)
@@ -63,10 +76,18 @@ def main():
     from rubiksnet_tpu.train.steps import make_eval_step
     from rubiksnet_tpu.utils import AverageMeter, per_class_accuracy
 
-    num_classes, _, val_list, root_path, prefix = return_dataset(
-        args.dataset, args.root_path
-    )
-    print(f"=> dataset: {args.dataset}")
+    if args.val_list:
+        assert args.num_classes, "--val-list requires --num-classes"
+        num_classes, val_list, root_path, prefix = (
+            args.num_classes, args.val_list, args.root_path, args.image_tmpl
+        )
+        print(f"=> dataset: folder list {val_list}")
+    else:
+        assert args.dataset, "a registry dataset name or --val-list is needed"
+        num_classes, _, val_list, root_path, prefix = return_dataset(
+            args.dataset, args.root_path
+        )
+        print(f"=> dataset: {args.dataset}")
     print(f"=> num_classes: {num_classes}")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -174,6 +195,35 @@ def main():
     print("Class accuracy:")
     print(cls_acc)
     print(f"\nAccuracy: top 1: {top1.avg:.02f}%\ttop 5: {top5.avg:.02f}%")
+
+    if args.stats_out:
+        import json
+
+        wall = time.time() - t0
+        stats = {
+            "videos": seen,
+            "videos_per_s": round(seen / max(wall, 1e-9), 2),
+            "sec_per_video": round(wall / max(seen, 1), 4),
+            "wall_s": round(wall, 2),
+            "host_wait_s": round(host_wait, 2),
+            "host_wait_frac": round(host_wait / max(wall, 1e-9), 3),
+            "device_step_fetch_s": round(device_time, 2),
+            "device_frac": round(device_time / max(wall, 1e-9), 3),
+            "two_clips": bool(args.two_clips),
+            "views_per_video": num_views,
+            "batch_size": args.batch_size,
+            "prefetch": args.prefetch,
+            "loader": "native" if use_native else "pil",
+            "backend": args.backend,
+            "dtype": args.dtype,
+            "tier": bundle.model.tier,
+            "top1": round(top1.avg, 2),
+            "top5": round(top5.avg, 2),
+            "device": str(jax.devices()[0]),
+        }
+        with open(args.stats_out, "w") as f:
+            json.dump(stats, f, indent=2)
+        print(json.dumps(stats))
 
 
 if __name__ == "__main__":
