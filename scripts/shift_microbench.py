@@ -1,10 +1,31 @@
-"""Shift-op microbenchmark: pallas vs conv vs select, forward and backward.
+"""Shift-op microbenchmark: pallas vs conv vs select vs auto, drift-robust.
 
-Times the 3D shift op alone (RubiksNet-Large stage-2/3 shapes) on the
-current device and writes SHIFT_MICROBENCH.json. The backward measures the
-full custom VJP (input-grad + shift-grad), which is the training hot path.
+Times the 3D shift op alone (RubiksNet-Large stage shapes) on the current
+device and writes SHIFT_MICROBENCH.json. Three measurements per stage:
+
+- forward           (rubiks_shift_3d_forward)
+- full custom VJP   (input-grad + shift-grad: the training hot path)
+- isolated (3, C) shift-parameter gradient (the piece the reference's
+  dedicated backward kernel accelerated, cuda_src/rubiks3d_kernels.cu:218-452,
+  and the data behind auto_backend.OCCUPANCY_MIN)
+
+This runtime's wall clock drifts up to 4x between sessions and ~2x within
+one (docs/PERF_NOTES.md), so one-shot sequential timings cannot rank
+backends. Like scripts/model_ab.py: all backends are compiled up front, then
+timed round-robin for --rounds rounds (direction alternating to cancel
+linear drift); the artifact records per-round samples, the MEDIAN per
+backend, and the median PER-ROUND ratio of each backend vs the fastest
+backend of that round — the ratio is computed within one round, so the
+chip-phase multiplier divides out.
+
+Results MERGE into --out: each (stage, mode) cell is overwritten when
+re-measured, everything else is kept — so the artifact can be captured one
+stage (or one mode) per invocation, each under its own timeout, on a runtime
+where a single wedged compile can eat the whole window.
 
 Usage: python scripts/shift_microbench.py [--out SHIFT_MICROBENCH.json]
+       [--stages stage1,stage2,stage3] [--modes fwd,bwd,shift_grad]
+       [--rounds 5]
 """
 
 import argparse
@@ -22,6 +43,16 @@ def main():
     p.add_argument("--out", default="SHIFT_MICROBENCH.json")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--max-shift", type=int, default=1)
+    p.add_argument("--rounds", type=int, default=5,
+                   help="interleaved timing rounds per stage")
+    p.add_argument("--iters", type=int, default=33,
+                   help="chained iterations per timing sample (the 32-iter "
+                        "delta must clear the tunnel's ~0.5s fetch jitter; "
+                        "ms-scale ops need >= 32)")
+    p.add_argument("--stages", default="stage1,stage2,stage3",
+                   help="comma subset of {stage1,stage2,stage3,stage4}")
+    p.add_argument("--modes", default="fwd,bwd,shift_grad",
+                   help="comma subset of {fwd,bwd,shift_grad}")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args()
@@ -37,76 +68,122 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     k = args.max_shift
-    shapes = {
+    all_shapes = {
         "stage1": (args.batch, 8, 56, 56, 72),
         "stage2": (args.batch, 8, 28, 28, 144),
         "stage3": (args.batch, 8, 14, 14, 288),
+        "stage4": (args.batch, 8, 7, 7, 576),
     }
-    results = {"device": str(jax.devices()[0]), "dtype": args.dtype,
-               "max_shift": k, "cases": {}}
+    shapes = {s: all_shapes[s] for s in args.stages.split(",")}
+    modes_wanted = args.modes.split(",")
+
+    # Merge into an existing artifact (stage+mode granularity) so the full
+    # table can be assembled across several bounded invocations.
+    results = {"cases": {}}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {"cases": {}}
+    results.update({"device": str(jax.devices()[0]), "dtype": args.dtype,
+                    "max_shift": k, "rounds": args.rounds})
+    results.setdefault("cases", {})
+
+    def interleave(fns, x):
+        """Round-robin time each labeled fn; per-round ratio vs the round's
+        fastest. Returns {label: {ms: [...], median_ms, median_ratio_vs_best}}
+        An inconclusive sample (chained delta below the tunnel's fetch
+        jitter) records as null and drops out of that round's ratio.
+        """
+        labels = list(fns)
+        samples = {l: [] for l in labels}
+        for rnd in range(args.rounds):
+            order = labels if rnd % 2 == 0 else labels[::-1]
+            for l in order:
+                try:
+                    dt = time_chained(fns[l], x, n_lo=1, n_hi=args.iters,
+                                      repeats=2)
+                    samples[l].append(dt * 1e3)
+                except RuntimeError:
+                    samples[l].append(None)
+        out = {}
+        for l in labels:
+            ratios = []
+            for r in range(args.rounds):
+                valid = [samples[b][r] for b in labels
+                         if samples[b][r] is not None]
+                if samples[l][r] is not None and valid:
+                    ratios.append(samples[l][r] / min(valid))
+            mine = [v for v in samples[l] if v is not None]
+            if not mine:
+                out[l] = {"error": "all rounds inconclusive"}
+                continue
+            out[l] = {
+                "ms": [round(v, 3) if v is not None else None
+                       for v in samples[l]],
+                "median_ms": round(float(np.median(mine)), 3),
+                # 1.0 = this backend WAS the round's fastest (median over
+                # rounds); computed within-round so drift divides out.
+                "median_ratio_vs_best": round(float(np.median(ratios)), 2),
+            }
+        return out
+
     for name, shape in shapes.items():
         x = jnp.asarray(np.random.RandomState(0).randn(*shape), dtype)
         shift = jnp.asarray(
             np.random.RandomState(1).uniform(-1.4, 1.4, (3, shape[-1])),
             jnp.float32,
         )
-        case = {}
-        for backend in ("pallas", "conv", "select", "auto"):
-            fwd = lambda x_: s3d.rubiks_shift_3d_forward(
-                x_, shift, backend=backend, max_shift=k
-            )
-            dt_f = time_chained(fwd, x, n_lo=1, n_hi=33, repeats=3)
+        og = jnp.asarray(np.random.RandomState(2).randn(*shape), dtype)
 
+        def make_fwd(backend):
+            return lambda x_: s3d.rubiks_shift_3d_forward(
+                x_, shift, backend=backend, max_shift=k)
+
+        def make_bwd(backend):
             def bwd(x_):
                 def loss(xv):
                     out = s3d.rubiks_shift_3d(
-                        xv, shift, backend=backend, max_shift=k
-                    )
+                        xv, shift, backend=backend, max_shift=k)
                     return jnp.sum(out.astype(jnp.float32) ** 2)
                 return jax.grad(loss)(x_)
-            dt_b = time_chained(bwd, x, n_lo=1, n_hi=17, repeats=3)
-            case[backend] = {"fwd_ms": round(dt_f * 1e3, 3),
-                             "bwd_ms": round(dt_b * 1e3, 3)}
-            print(f"{name} {backend}: fwd {dt_f*1e3:.2f} ms  "
-                  f"fwd+bwd {dt_b*1e3:.2f} ms", flush=True)
-        case["pallas_vs_conv_fwd"] = round(
-            case["conv"]["fwd_ms"] / case["pallas"]["fwd_ms"], 2)
-        case["pallas_vs_conv_bwd"] = round(
-            case["conv"]["bwd_ms"] / case["pallas"]["bwd_ms"], 2)
-        # >= 1.0 (modulo runtime noise) means auto really picks the winner
-        case["auto_vs_best_fwd"] = round(
-            min(case[b]["fwd_ms"] for b in ("pallas", "conv", "select"))
-            / case["auto"]["fwd_ms"], 2)
-        case["auto_vs_best_bwd"] = round(
-            min(case[b]["bwd_ms"] for b in ("pallas", "conv", "select"))
-            / case["auto"]["bwd_ms"], 2)
+            return bwd
 
-        # Isolated (3, C) shift-parameter gradient: the x-grad-only bwd
-        # above lets XLA DCE this reduction, so time it directly — it is the
-        # piece the reference's dedicated backward kernel accelerated
-        # (cuda_src/rubiks3d_kernels.cu:218-452) and the data behind
-        # auto_backend.OCCUPANCY_MIN.
-        og = jnp.asarray(np.random.RandomState(2).randn(*shape), dtype)
-        sgrads = {}
-        for b in ("pallas", "gather", "auto"):
-            fn = lambda og_: s3d.rubiks_shift_3d_shift_grad(
-                og_, x, shift, backend=b, max_shift=k
-            )
-            try:
-                dt_g = time_chained(fn, og, n_lo=1, n_hi=17, repeats=3)
-            except Exception as e:  # unsupported config
-                sgrads[b] = {"error": str(e)[:120]}
+        def make_sgrad(backend):
+            return lambda og_: s3d.rubiks_shift_3d_shift_grad(
+                og_, x, shift, backend=backend, max_shift=k)
+
+        case = results["cases"].setdefault(name, {})
+        for mode, maker, arg, backends in (
+            ("fwd", make_fwd, x, ("pallas", "conv", "select", "auto")),
+            ("bwd", make_bwd, x, ("pallas", "conv", "select", "auto")),
+            ("shift_grad", make_sgrad, og, ("pallas", "gather", "auto")),
+        ):
+            if mode not in modes_wanted:
                 continue
-            sgrads[b] = {"ms": round(dt_g * 1e3, 3)}
-            print(f"{name} shift-grad {b}: {dt_g*1e3:.2f} ms", flush=True)
-        if "ms" in sgrads.get("pallas", {}) and "ms" in sgrads.get("gather", {}):
-            sgrads["pallas_vs_gather"] = round(
-                sgrads["gather"]["ms"] / sgrads["pallas"]["ms"], 2)
-        case["shift_grad"] = sgrads
-        results["cases"][name] = case
+            fns, errors = {}, {}
+            for b in backends:
+                fn = maker(b)
+                try:  # compile (and support-check) up front, outside timing
+                    jax.block_until_ready(fn(arg))
+                except Exception as e:
+                    errors[b] = str(e)[:120]
+                    continue
+                fns[b] = fn
+            timed = interleave(fns, arg) if fns else {}
+            timed.update({b: {"error": e} for b, e in errors.items()})
+            case[mode] = timed
+            for b, row in timed.items():
+                if "median_ms" in row:
+                    print(f"{name} {mode} {b}: median {row['median_ms']} ms "
+                          f"(ratio-vs-best {row['median_ratio_vs_best']})",
+                          flush=True)
+            # Persist after every completed (stage, mode) cell: a timeout
+            # later in the run must not discard measurements already taken.
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
     print(json.dumps({"out": args.out}))
 
 
