@@ -93,6 +93,46 @@ def time_chained(
             n_hi = min(n_hi * 4, max_n_hi)
 
 
+class ChainedTimer:
+    """Precompiled chained-loop timer for interleaved drift studies.
+
+    `time_chained` builds (traces + compiles) fresh jitted loops on every
+    call, which makes round-robin A/B harnesses pay a full retrace per
+    config per round — on this runtime that is the dominant cost. This
+    class pays trace+compile ONCE at construction, then `sample()` draws
+    an execution-only timing sample; call it once per interleave round.
+    """
+
+    def __init__(self, fn: Callable, example_input: jax.Array,
+                 n_lo: int = 1, n_hi: int = 32):
+        def body(i, v):
+            out = fn(v)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return v + (leaf.sum() * 0).astype(v.dtype)
+
+        def chained(n):
+            return jax.jit(lambda v: lax.fori_loop(0, n, body, v))
+
+        self._lo, self._hi = chained(n_lo), chained(n_hi)
+        self._n_lo, self._n_hi = n_lo, n_hi
+        self._example = example_input
+        # Compile both loops now, outside any timed region.
+        for f in (self._lo, self._hi):
+            r = f(example_input)
+            np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()
+
+    def sample(self, repeats: int = 2) -> float:
+        """One seconds-per-application sample (execution only).
+
+        Raises RuntimeError when the iteration delta does not clear the
+        fetch jitter; callers in interleave loops should record the miss
+        and move on rather than escalate n_hi mid-study (which would make
+        rounds incomparable).
+        """
+        return _measure_diff(self._lo, self._hi, self._example,
+                             self._n_lo, self._n_hi, repeats)
+
+
 def time_chained_carry(
     fn: Callable,
     carry,

@@ -64,7 +64,7 @@ def main():
     import jax.numpy as jnp
 
     from rubiksnet_tpu.ops import shift3d as s3d
-    from rubiksnet_tpu.utils.benchmark import time_chained
+    from rubiksnet_tpu.utils.benchmark import ChainedTimer
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     k = args.max_shift
@@ -90,21 +90,20 @@ def main():
                     "max_shift": k, "rounds": args.rounds})
     results.setdefault("cases", {})
 
-    def interleave(fns, x):
-        """Round-robin time each labeled fn; per-round ratio vs the round's
-        fastest. Returns {label: {ms: [...], median_ms, median_ratio_vs_best}}
+    def interleave(timers):
+        """Round-robin sample each precompiled timer; per-round ratio vs the
+        round's fastest. Returns
+        {label: {ms: [...], median_ms, median_ratio_vs_best}}.
         An inconclusive sample (chained delta below the tunnel's fetch
         jitter) records as null and drops out of that round's ratio.
         """
-        labels = list(fns)
+        labels = list(timers)
         samples = {l: [] for l in labels}
         for rnd in range(args.rounds):
             order = labels if rnd % 2 == 0 else labels[::-1]
             for l in order:
                 try:
-                    dt = time_chained(fns[l], x, n_lo=1, n_hi=args.iters,
-                                      repeats=2)
-                    samples[l].append(dt * 1e3)
+                    samples[l].append(timers[l].sample(repeats=2) * 1e3)
                 except RuntimeError:
                     samples[l].append(None)
         out = {}
@@ -162,16 +161,16 @@ def main():
         ):
             if mode not in modes_wanted:
                 continue
-            fns, errors = {}, {}
+            timers, errors = {}, {}
             for b in backends:
-                fn = maker(b)
-                try:  # compile (and support-check) up front, outside timing
-                    jax.block_until_ready(fn(arg))
+                try:  # trace+compile up front, once per backend (not per
+                    # round): on this runtime the retrace per sample is the
+                    # dominant cost, and a support-check failure lands here
+                    timers[b] = ChainedTimer(maker(b), arg,
+                                             n_lo=1, n_hi=args.iters)
                 except Exception as e:
                     errors[b] = str(e)[:120]
-                    continue
-                fns[b] = fn
-            timed = interleave(fns, arg) if fns else {}
+            timed = interleave(timers) if timers else {}
             timed.update({b: {"error": e} for b, e in errors.items()})
             case[mode] = timed
             for b, row in timed.items():
