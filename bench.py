@@ -336,6 +336,12 @@ def supervise(args):
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines())
              if ln.startswith("{")), None)
+        # Relay the child's diagnostic lines (e.g. "warning: bs=64:
+        # chained timing inconclusive") — a child can exit 0 with an empty
+        # measurement, and without this the reason is silently discarded.
+        for ln in proc.stdout.splitlines():
+            if ln != line and ln.strip():
+                print(f"[bs={bs}] {ln}", file=sys.stderr, flush=True)
         if proc.returncode != 0 or line is None:
             print(f"warning: bs={bs} (attempt {attempt}): child failed "
                   f"(rc={proc.returncode}): {proc.stderr[-400:]}",
@@ -425,6 +431,15 @@ def supervise(args):
                                        remaining()))
         elif out is None and remaining() > 120:
             out = run_child(bs, 2, min(args.per_batch_timeout, remaining()))
+        elif (isinstance(out, dict) and not out["detail"]["batch_sweep"]
+              and remaining() > 120):
+            # Child exited clean but measured nothing (inconclusive chained
+            # timing on a drifting chip). The retry is a warm start, so one
+            # more attempt is cheap relative to losing the batch point.
+            retry = run_child(bs, 2, min(args.per_batch_timeout,
+                                         remaining()))
+            if isinstance(retry, dict) and retry["detail"]["batch_sweep"]:
+                out = retry
         if not isinstance(out, dict):
             continue
         metric = out["metric"]
