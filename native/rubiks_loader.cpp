@@ -207,6 +207,24 @@ bool write_crop(const uint8_t* img, int rw, int rh, int crop_x, int crop_y,
   return true;
 }
 
+// Crop one window of a resized RGB8 image into raw uint8 channel-last —
+// a row-wise memcpy. Used by the device-normalize input path: shipping
+// uint8 over the host->device link is 4x fewer bytes than normalized f32;
+// the ((v/255) - mean) / std math runs inside the jitted eval step instead.
+bool write_crop_u8(const uint8_t* img, int rw, int rh, int crop_x, int crop_y,
+                   int crop_w, int crop_h, uint8_t* out) {
+  if (crop_x < 0) crop_x = (rw - crop_w) / 2;  // -1 => center crop
+  if (crop_y < 0) crop_y = (rh - crop_h) / 2;
+  if (crop_x + crop_w > rw || crop_y + crop_h > rh) return false;
+  for (int y = 0; y < crop_h; ++y) {
+    const uint8_t* srow =
+        img + (static_cast<size_t>(crop_y + y) * rw + crop_x) * 3;
+    std::memcpy(out + static_cast<size_t>(y) * crop_w * 3, srow,
+                static_cast<size_t>(crop_w) * 3);
+  }
+  return true;
+}
+
 // Process one frame end to end. Writes (crop_h, crop_w, 3) float32
 // channel-last, normalized as ((v/255) - mean) / std.
 bool process_frame(const char* path, int scale_size, int crop_x, int crop_y,
@@ -302,6 +320,80 @@ int rl_load_frames_mc(const char** paths, int n, int scale_size,
   return failures.load();
 }
 
+// uint8 variants of the two batch loaders: decode + resize + crop with NO
+// normalization, writing raw uint8 channel-last. Shipping uint8 to the
+// device and normalizing inside the jitted step cuts host->device bytes 4x
+// vs normalized float32 (the dominant eval cost on transfer-bound links).
+
+int rl_load_frames_u8(const char** paths, int n, int scale_size,
+                      const int* crop_x, const int* crop_y, int crop_w,
+                      int crop_h, uint8_t* out, long frame_stride,
+                      int num_threads) {
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> rgb, resized;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* img = nullptr;
+      int rw = 0, rh = 0;
+      if (!decode_resized(paths[i], scale_size, &rgb, &resized, &img, &rw,
+                          &rh) ||
+          !write_crop_u8(img, rw, rh, crop_x[i], crop_y[i], crop_w, crop_h,
+                         out + static_cast<size_t>(i) * frame_stride)) {
+        failures.fetch_add(1);
+      }
+    }
+  };
+  int nt = std::max(1, num_threads);
+  if (nt == 1 || n == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < std::min(nt, n); ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return failures.load();
+}
+
+int rl_load_frames_mc_u8(const char** paths, int n, int scale_size,
+                         const int* crop_x, const int* crop_y, int n_crops,
+                         int crop_w, int crop_h, uint8_t* out,
+                         long frame_stride, long crop_block_stride,
+                         int num_threads) {
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> rgb, resized;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* img = nullptr;
+      int rw = 0, rh = 0;
+      if (!decode_resized(paths[i], scale_size, &rgb, &resized, &img, &rw,
+                          &rh)) {
+        failures.fetch_add(1);
+        continue;
+      }
+      for (int c = 0; c < n_crops; ++c) {
+        if (!write_crop_u8(img, rw, rh, crop_x[c], crop_y[c], crop_w, crop_h,
+                           out + static_cast<size_t>(c) * crop_block_stride +
+                               static_cast<size_t>(i) * frame_stride)) {
+          failures.fetch_add(1);
+        }
+      }
+    }
+  };
+  int nt = std::max(1, num_threads);
+  if (nt == 1 || n == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < std::min(nt, n); ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return failures.load();
+}
+
 // Decode + resize + crop a single frame (uint8 output, for tests/tools).
 int rl_decode_frame_u8(const char* path, int scale_size, int crop_x,
                        int crop_y, int crop_w, int crop_h, uint8_t* out) {
@@ -318,6 +410,6 @@ int rl_decode_frame_u8(const char* path, int scale_size, int crop_x,
   return 0;
 }
 
-int rl_version() { return 2; }
+int rl_version() { return 3; }
 
 }  // extern "C"

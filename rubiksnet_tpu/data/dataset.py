@@ -308,10 +308,11 @@ def batch_iterator(
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (video, labels, valid) batches with fixed shapes for jit.
 
-    video: (B, num_crops, T, H, W, 3) float32; the transform output
-    (num_crops * T, H, W, 3) is reshaped per scripts/test_models.py:162-168.
-    The final short batch is zero-padded with `valid` masking (fixed shapes
-    keep XLA from recompiling).
+    video: (B, num_crops, T, H, W, 3), keeping the dataset's dtype (float32
+    for host-normalized clips, uint8 when normalization is deferred to the
+    device); the transform output (num_crops * T, H, W, 3) is reshaped per
+    scripts/test_models.py:162-168. The final short batch is zero-padded
+    with `valid` masking (fixed shapes keep XLA from recompiling).
     """
     buf_v, buf_l = [], []
 
@@ -323,7 +324,9 @@ def batch_iterator(
         return video, labels, valid
 
     for clip, label in dataset:
-        clip = np.asarray(clip, np.float32)
+        clip = np.asarray(clip)
+        if clip.dtype != np.uint8:
+            clip = clip.astype(np.float32, copy=False)
         total, h, w, ch = clip.shape
         assert total == num_crops * num_frames, (
             f"transform produced {total} frames, expected {num_crops}x{num_frames}"

@@ -65,9 +65,11 @@ class NativeEvalDataset:
         std: Sequence[float],
         two_clips: bool = False,
         num_threads=None,
+        out_dtype: str = "float32",
     ):
         assert native_loader.available(), "native loader not built"
         assert dataset.transform is None, "pass a transform-less dataset"
+        assert out_dtype in ("float32", "uint8")
         self.ds = dataset
         self.scale_size = scale_size
         self.crop_size = crop_size
@@ -75,6 +77,9 @@ class NativeEvalDataset:
         self.std = tuple(std)
         self.two_clips = two_clips
         self.num_threads = num_threads
+        # "uint8": raw pixels, normalization deferred to the device (the
+        # jitted eval step) — 4x fewer host->device bytes than f32.
+        self.out_dtype = out_dtype
 
     def __len__(self):
         return len(self.ds)
@@ -89,30 +94,44 @@ class NativeEvalDataset:
             w0, h0 = im.size
         sw, sh = _scaled_size(w0, h0, self.scale_size)
 
+        raw = self.out_dtype == "uint8"
         if self.two_clips:
             # decode each frame once, emit all 3 GroupFullResSample crops
             # (crop-major output order = the PIL pipeline's view order)
             offsets = full_res_offsets(sw, sh, self.crop_size)
-            clip = native_loader.load_frames_multicrop(
-                paths,
-                self.scale_size,
-                self.crop_size,
-                self.mean,
-                self.std,
-                crop_offsets=offsets,
-                num_threads=self.num_threads,
-            )
+            if raw:
+                clip = native_loader.load_frames_multicrop_u8(
+                    paths, self.scale_size, self.crop_size,
+                    crop_offsets=offsets, num_threads=self.num_threads,
+                )
+            else:
+                clip = native_loader.load_frames_multicrop(
+                    paths,
+                    self.scale_size,
+                    self.crop_size,
+                    self.mean,
+                    self.std,
+                    crop_offsets=offsets,
+                    num_threads=self.num_threads,
+                )
         else:
             ox, oy = center_offset(sw, sh, self.crop_size)
-            clip = native_loader.load_frames(
-                paths,
-                self.scale_size,
-                self.crop_size,
-                self.mean,
-                self.std,
-                crop_offsets=[(ox, oy)] * len(paths),
-                num_threads=self.num_threads,
-            )
+            if raw:
+                clip = native_loader.load_frames_u8(
+                    paths, self.scale_size, self.crop_size,
+                    crop_offsets=[(ox, oy)] * len(paths),
+                    num_threads=self.num_threads,
+                )
+            else:
+                clip = native_loader.load_frames(
+                    paths,
+                    self.scale_size,
+                    self.crop_size,
+                    self.mean,
+                    self.std,
+                    crop_offsets=[(ox, oy)] * len(paths),
+                    num_threads=self.num_threads,
+                )
         return clip, record.label
 
     def __iter__(self):

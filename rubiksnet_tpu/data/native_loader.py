@@ -83,6 +83,35 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
+    if hasattr(lib, "rl_load_frames_u8"):
+        lib.rl_load_frames_u8.restype = ctypes.c_int
+        lib.rl_load_frames_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+        ]
+        lib.rl_load_frames_mc_u8.restype = ctypes.c_int
+        lib.rl_load_frames_mc_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -198,6 +227,97 @@ def load_frames_multicrop(
         mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frame_stride,
+        n * frame_stride,
+        threads,
+    )
+    if failures:
+        raise IOError(
+            f"native loader failed on {failures}/{n * n_crops} frame-crops"
+        )
+    return out
+
+
+def load_frames_u8(
+    paths: Sequence[str],
+    scale_size: int,
+    crop_size: int,
+    crop_offsets: Optional[Sequence[tuple]] = None,
+    num_threads: Optional[int] = None,
+) -> np.ndarray:
+    """Decode + resize + crop a list of frames in parallel to raw uint8.
+
+    The device-normalize input path: ((v/255) - mean) / std runs inside the
+    jitted eval step, so the host ships 4x fewer bytes than normalized f32.
+    Returns (len(paths), crop_size, crop_size, 3) uint8.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    if not hasattr(lib, "rl_load_frames_u8"):
+        raise RuntimeError("stale librubiks_loader.so without the u8 entry "
+                           "points; rebuild with make")
+    n = len(paths)
+    out = np.empty((n, crop_size, crop_size, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if crop_offsets is None:
+        xs = np.full(n, -1, np.int32)
+        ys = np.full(n, -1, np.int32)
+    else:
+        xs = np.asarray([o[0] for o in crop_offsets], np.int32)
+        ys = np.asarray([o[1] for o in crop_offsets], np.int32)
+    threads = num_threads if num_threads is not None else (os.cpu_count() or 1)
+    failures = lib.rl_load_frames_u8(
+        c_paths,
+        n,
+        scale_size,
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        crop_size,
+        crop_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        crop_size * crop_size * 3,
+        threads,
+    )
+    if failures:
+        raise IOError(f"native loader failed on {failures}/{n} frames")
+    return out
+
+
+def load_frames_multicrop_u8(
+    paths: Sequence[str],
+    scale_size: int,
+    crop_size: int,
+    crop_offsets: Sequence[tuple],
+    num_threads: Optional[int] = None,
+) -> np.ndarray:
+    """Decode-once multicrop to raw uint8 (see load_frames_multicrop /
+    load_frames_u8). Returns (len(crop_offsets) * len(paths), crop, crop, 3)
+    uint8, crop-major."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    if not hasattr(lib, "rl_load_frames_mc_u8"):
+        raise RuntimeError("stale librubiks_loader.so without the u8 entry "
+                           "points; rebuild with make")
+    n = len(paths)
+    n_crops = len(crop_offsets)
+    out = np.empty((n_crops * n, crop_size, crop_size, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    xs = np.asarray([o[0] for o in crop_offsets], np.int32)
+    ys = np.asarray([o[1] for o in crop_offsets], np.int32)
+    threads = num_threads if num_threads is not None else (os.cpu_count() or 1)
+    frame_stride = crop_size * crop_size * 3
+    failures = lib.rl_load_frames_mc_u8(
+        c_paths,
+        n,
+        scale_size,
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_crops,
+        crop_size,
+        crop_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         frame_stride,
         n * frame_stride,
         threads,

@@ -63,18 +63,30 @@ def make_train_step(model, tx: optax.GradientTransformation):
     return train_step
 
 
-def make_eval_step(model, num_crops: int = 1, fused: bool = False):
+def make_eval_step(model, num_crops: int = 1, fused: bool = False,
+                   normalize: Optional[Tuple] = None):
     """Returns eval_step(variables, video, labels) -> metrics dict.
 
     video: (N, crops, T, H, W, 3). Logits are averaged over the crops/clips
     axis inside the jitted step (the multi-view consensus of
     scripts/test_models.py:162-175). fused=True routes the forward through
     the multi-block Pallas inference executor (models/fused_infer.py).
+
+    normalize: optional (mean, std) tuple. When given, the step accepts raw
+    uint8 pixels and applies ((v/255) - mean) / std on device in f32 — the
+    host then ships 4x fewer bytes than pre-normalized float32 (the
+    transfer, not the compute, dominates end-to-end eval on
+    bandwidth-limited host->device links).
     """
+    if normalize is not None:
+        mean = jnp.asarray(normalize[0], jnp.float32)
+        std = jnp.asarray(normalize[1], jnp.float32)
 
     def eval_step(variables, video, labels):
         n, crops = video.shape[0], video.shape[1]
         flat = video.reshape((n * crops,) + video.shape[2:])
+        if normalize is not None:
+            flat = (flat.astype(jnp.float32) * (1.0 / 255.0) - mean) / std
         if fused:
             from ..models.fused_infer import fused_infer_apply
 

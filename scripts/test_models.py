@@ -58,6 +58,11 @@ def main():
     parser.add_argument("--backend", default="fused",
                         choices=["fused", "model"],
                         help="'fused' = multi-block Pallas inference executor")
+    parser.add_argument("--host-normalize", action="store_true",
+                        help="normalize pixels on the host (pre-round-4 "
+                             "behavior). Default with the native loader is "
+                             "to ship raw uint8 and normalize inside the "
+                             "jitted step: 4x fewer host->device bytes")
     args = parser.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -130,18 +135,24 @@ def main():
     )
     if args.limit:
         dataset.video_list = dataset.video_list[: args.limit]
+    device_norm = use_native and not args.host_normalize
     if use_native:
         print("=> loader: native (C++ libjpeg pipeline)")
         dataset = NativeEvalDataset(
             dataset, scale_size, crop_size, INPUT_MEAN, INPUT_STD,
             two_clips=args.two_clips,
+            out_dtype="uint8" if device_norm else "float32",
         )
+    if device_norm:
+        print("=> input: raw uint8, normalized on device")
     print(f"=> videos: {len(dataset)}")
 
     m = pmesh.create_mesh()
     eval_step = jax.jit(
         make_eval_step(bundle.model, num_crops=num_views,
-                       fused=args.backend == "fused")
+                       fused=args.backend == "fused",
+                       normalize=(INPUT_MEAN, INPUT_STD) if device_norm
+                       else None)
     )
     variables = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, pmesh.replicated(m)), dict(bundle.variables)
@@ -151,7 +162,8 @@ def main():
     all_preds, all_labels = [], []
     t0 = time.time()
     host_wait = device_time = 0.0
-    seen = 0
+    first_batch_s = None  # host+device of batch 0 (compile + warmup)
+    seen = first_videos = 0
     batches = batch_iterator(dataset, args.batch_size, num_views, args.frames)
     if args.prefetch > 0:
         batches = prefetch(batches, depth=args.prefetch)
@@ -164,11 +176,16 @@ def main():
             break
         host_wait += time.time() - th0
         td0 = time.time()
-        batch = pmesh.shard_batch(m, {"v": video.astype(np.float32), "l": labels})
+        if not device_norm:
+            video = video.astype(np.float32)
+        batch = pmesh.shard_batch(m, {"v": video, "l": labels})
         out = eval_step(variables, batch["v"], batch["l"])
         n_valid = int(valid.sum())
         logits = np.asarray(out["logits"])[:n_valid]
         device_time += time.time() - td0
+        if first_batch_s is None:
+            first_batch_s = time.time() - t0
+            first_videos = n_valid
         lab = labels[:n_valid]
         preds = logits.argmax(1)
         all_preds.append(preds)
@@ -200,10 +217,22 @@ def main():
         import json
 
         wall = time.time() - t0
+        # Steady state: exclude batch 0, which pays trace+compile (or the
+        # compile-cache load) — the number a long evaluation converges to.
+        steady_videos = seen - first_videos
+        steady_wall = wall - (first_batch_s or 0.0)
         stats = {
             "videos": seen,
             "videos_per_s": round(seen / max(wall, 1e-9), 2),
             "sec_per_video": round(wall / max(seen, 1), 4),
+            "steady_videos_per_s": round(
+                steady_videos / max(steady_wall, 1e-9), 2
+            ) if steady_videos > 0 else None,
+            "steady_sec_per_video": round(
+                steady_wall / steady_videos, 4
+            ) if steady_videos > 0 else None,
+            "first_batch_s": round(first_batch_s or 0.0, 2),
+            "device_normalize": bool(device_norm),
             "wall_s": round(wall, 2),
             "host_wait_s": round(host_wait, 2),
             "host_wait_frac": round(host_wait / max(wall, 1e-9), 3),

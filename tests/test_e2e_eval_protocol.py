@@ -131,7 +131,7 @@ def _reference_eval(net, root, two_clips):
     return np.stack(logits), np.asarray(labels)
 
 
-def _our_eval(ckpt, root, two_clips, loader="pil"):
+def _our_eval(ckpt, root, two_clips, loader="pil", device_norm=False):
     """Our evaluator pipeline, scripts/test_models.py (this repo)."""
     import jax
 
@@ -180,9 +180,13 @@ def _our_eval(ckpt, root, two_clips, loader="pil"):
     )
     if loader == "native":
         ds = NativeEvalDataset(
-            ds, SCALE, CROP, INPUT_MEAN, INPUT_STD, two_clips=two_clips
+            ds, SCALE, CROP, INPUT_MEAN, INPUT_STD, two_clips=two_clips,
+            out_dtype="uint8" if device_norm else "float32",
         )
-    eval_step = jax.jit(make_eval_step(bundle.model, num_crops=num_views))
+    eval_step = jax.jit(make_eval_step(
+        bundle.model, num_crops=num_views,
+        normalize=(INPUT_MEAN, INPUT_STD) if device_norm else None,
+    ))
     logits, labels = [], []
     for video, lab, valid in batch_iterator(ds, 2, num_views, T):
         out = eval_step(dict(bundle.variables), video, lab)
@@ -226,4 +230,30 @@ def test_native_loader_evaluator_parity(frame_root, ckpt_path, two_clips):
     np.testing.assert_allclose(nat_logits, pil_logits, atol=0.02, rtol=0)
     np.testing.assert_array_equal(
         nat_logits.argmax(1), pil_logits.argmax(1)
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("two_clips", [False, True],
+                         ids=["1clip", "2clip_3crop"])
+def test_device_normalize_matches_host_normalize(frame_root, ckpt_path,
+                                                 two_clips):
+    """The production input path (raw uint8 shipped to the device, normalize
+    inside the jitted step — 4x fewer host->device bytes) produces the same
+    logits as host-side C++ normalization up to f32 rounding."""
+    from rubiksnet_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    path, _net = ckpt_path
+    host_logits, host_labels = _our_eval(
+        path, frame_root, two_clips, loader="native"
+    )
+    dev_logits, dev_labels = _our_eval(
+        path, frame_root, two_clips, loader="native", device_norm=True
+    )
+    np.testing.assert_array_equal(host_labels, dev_labels)
+    np.testing.assert_allclose(dev_logits, host_logits, atol=1e-4, rtol=0)
+    np.testing.assert_array_equal(
+        dev_logits.argmax(1), host_logits.argmax(1)
     )

@@ -79,6 +79,45 @@ def test_multicrop_matches_per_crop_load(jpeg, tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_u8_batch_matches_normalized_f32(jpeg):
+    """Raw-uint8 loading + host-side normalize == the fused C++ normalize
+    path (the device-normalize input pipeline's correctness contract)."""
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    f32 = native_loader.load_frames([jpeg] * 3, 256, 224, mean, std)
+    u8 = native_loader.load_frames_u8([jpeg] * 3, 256, 224)
+    assert u8.shape == (3, 224, 224, 3) and u8.dtype == np.uint8
+    renorm = (
+        u8.astype(np.float32) * np.float32(1.0 / 255.0)
+        - np.asarray(mean, np.float32)
+    ) / np.asarray(std, np.float32)
+    np.testing.assert_allclose(renorm, f32, atol=1e-5, rtol=0)
+
+
+def test_u8_multicrop_matches_per_crop(jpeg, tmp_path):
+    arr = (np.random.RandomState(2).rand(240, 320, 3) * 255).astype(np.uint8)
+    second = tmp_path / "h.jpg"
+    Image.fromarray(arr).save(second, quality=95)
+    paths = [jpeg, str(second)]
+    offsets = [(0, 8), (60, 8), (30, 8)]
+    got = native_loader.load_frames_multicrop_u8(
+        paths, 256, 224, crop_offsets=offsets
+    )
+    assert got.shape == (6, 224, 224, 3) and got.dtype == np.uint8
+    rep_paths = [p for _ in offsets for p in paths]
+    rep_offsets = [o for o in offsets for _ in paths]
+    ref = native_loader.load_frames_u8(
+        rep_paths, 256, 224, crop_offsets=rep_offsets
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_u8_crop_matches_decode_frame_u8(jpeg):
+    got = native_loader.load_frames_u8([jpeg], 256, 224,
+                                       crop_offsets=[(12, 4)])
+    ref = native_loader.decode_frame_u8(jpeg, 256, 224, 12, 4)
+    np.testing.assert_array_equal(got[0], ref)
+
+
 def test_multicrop_reports_oob_crop(jpeg):
     with pytest.raises(IOError):
         native_loader.load_frames_multicrop(
