@@ -120,6 +120,46 @@ def main():
             configs[label], video, n_lo=1, n_hi=args.iters
         )
         print(f"compiled {label}", flush=True)
+    def median(v):
+        return float(np.median(v))
+
+    def write_out(rounds_done):
+        # Persist after EVERY completed round: a killed run still leaves
+        # decision-grade partial data on disk (VERDICT r3 #1 discipline).
+        done = {k: v for k, v in samples.items() if v}
+        out = {
+            "device": str(jax.devices()[0]),
+            "batch": args.batch,
+            "tier": args.tier,
+            "rounds": rounds_done,
+            "rounds_requested": args.pairs,
+            "baseline_config": base,
+            "configs": {
+                k: {
+                    "ms_per_batch": [round(s * 1e3, 2) for s in v],
+                    "clips_per_s": [round(args.batch / s, 1) for s in v],
+                    "median_clips_per_s": round(args.batch / median(v), 1),
+                    "best_clips_per_s": round(args.batch / min(v), 1),
+                }
+                for k, v in done.items()
+            },
+            # Decision statistic: median over rounds of (base dt / config
+            # dt), each ratio computed within one round. > 1.0 means faster
+            # than the first config.
+            "median_ratio_vs_" + base: {
+                k: round(median([b / s for b, s in zip(samples[base], v)]), 3)
+                for k, v in done.items() if k != base
+            },
+            "ratio_spread_vs_" + base: {
+                k: [round(b / s, 3) for b, s in zip(samples[base], v)]
+                for k, v in done.items() if k != base
+            },
+        }
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(tmp, args.out)
+
     # --pairs interleaved rounds, direction alternating per round: every
     # config is timed once per round, so per-round ratios share the chip
     # phase and linear drift cancels across the round pair.
@@ -134,39 +174,7 @@ def main():
                 f"{dt * 1e3:.2f} ms/batch = {args.batch / dt:.1f} clips/s",
                 flush=True,
             )
-
-    def median(v):
-        return float(np.median(v))
-
-    out = {
-        "device": str(jax.devices()[0]),
-        "batch": args.batch,
-        "tier": args.tier,
-        "rounds": args.pairs,
-        "baseline_config": base,
-        "configs": {
-            k: {
-                "ms_per_batch": [round(s * 1e3, 2) for s in v],
-                "clips_per_s": [round(args.batch / s, 1) for s in v],
-                "median_clips_per_s": round(args.batch / median(v), 1),
-                "best_clips_per_s": round(args.batch / min(v), 1),
-            }
-            for k, v in samples.items()
-        },
-        # Decision statistic: median over rounds of (base dt / config dt),
-        # each ratio computed within one round. > 1.0 means faster than the
-        # first config.
-        "median_ratio_vs_" + base: {
-            k: round(median([b / s for b, s in zip(samples[base], v)]), 3)
-            for k, v in samples.items() if k != base
-        },
-        "ratio_spread_vs_" + base: {
-            k: [round(b / s, 3) for b, s in zip(samples[base], v)]
-            for k, v in samples.items() if k != base
-        },
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+        write_out(rnd + 1)
     print(json.dumps({"out": args.out}))
 
 
