@@ -45,8 +45,8 @@ def main():
                         "once and contributes one ratio-vs-first sample")
     p.add_argument("--configs", default="ws1,off",
                    help="comma subset of {ws1,all,off,mxu1,mxu0,entry,"
-                        "hs,entryhs,sebatch,entrysb}; the FIRST is the "
-                        "ratio denominator")
+                        "hs,entryhs,sebatch,entrysb,offsb}; the FIRST is "
+                        "the ratio denominator")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -105,6 +105,7 @@ def main():
         "entryhs": ("1", "1", "auto", "1", "99", "0"),  # entry + stage0
         "sebatch": ("1", "1", "auto", "0", "1", "1"),   # ws1 + batched SE
         "entrysb": ("1", "1", "auto", "1", "1", "1"),   # entry + batched SE
+        "offsb": ("0", "1", "auto", "0", "1", "1"),     # off + batched SE
     }
     configs = {k: forward_with(*v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
