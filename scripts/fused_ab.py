@@ -64,47 +64,13 @@ def make_blocks(c, nb, max_shift, dtype, seed=0, se_reduction=None):
     return params, stats
 
 
-def make_entry_block(cin, mid, max_shift, dtype, seed=3):
-    import jax
-    import jax.numpy as jnp
-
-    ks = jax.random.split(jax.random.PRNGKey(seed), 12)
-    u = lambda k_, shape, lo, hi: jax.random.uniform(
-        k_, shape, jnp.float32, lo, hi)
-    p = {
-        "bn1": {"scale": u(ks[0], (cin,), 0.5, 1.5),
-                "bias": u(ks[1], (cin,), -0.3, 0.3)},
-        "bn2": {"scale": u(ks[2], (mid,), 0.5, 1.5),
-                "bias": u(ks[3], (mid,), -0.3, 0.3)},
-        "conv2": {"kernel": jax.random.normal(
-            ks[4], (1, 1, cin, mid)) / np.sqrt(cin)},
-        "conv3": {"kernel": jax.random.normal(
-            ks[5], (1, 1, mid, mid)) / np.sqrt(mid)},
-        "shortcut": {"kernel": jax.random.normal(
-            ks[6], (1, 1, cin, mid)) / np.sqrt(cin)},
-        "as3": {"rubiks3d": {"shift": u(ks[7], (3, mid), -1.0, 1.0)}},
-        "se": {"fc1": {"kernel": jax.random.normal(
-                   ks[8], (mid, mid // 12)) / np.sqrt(mid)},
-               "fc2": {"kernel": jax.random.normal(
-                   ks[9], (mid // 12, mid)) / np.sqrt(mid // 12)}},
-    }
-    s = {
-        "bn1": {"mean": u(ks[10], (cin,), -0.2, 0.2),
-                "var": u(ks[10], (cin,), 0.5, 2.0)},
-        "bn2": {"mean": u(ks[11], (mid,), -0.2, 0.2),
-                "var": u(ks[11], (mid,), 0.5, 2.0)},
-    }
-    return p, s
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="FUSED_AB.json")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--max-shift", type=int, default=1)
     p.add_argument("--cases", default="stage2,stage3,stage4,stage1h,stage0h",
-                   help="also: entry1..entry4 (the stride-2 stage-entry "
-                        "blocks; configs 'entry' + 'unfused')")
+                   help="Large stage shapes to time")
     p.add_argument("--configs", default="mxu,vpu,g2,unfused",
                    help="comma subset of {mxu,vpu,g2,unfused} to time "
                         "(each config is one slow first compile on this "
@@ -130,10 +96,6 @@ def main():
     from rubiksnet_tpu.utils.benchmark import time_chained
 
     from rubiksnet_tpu.ops.pallas.fused_block import stack_se_params
-    from rubiksnet_tpu.ops.pallas.fused_entry import (
-        fused_entry_run, fused_entry_supported, stack_entry_params,
-    )
-
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     k = args.max_shift
     bs = args.batch
@@ -145,47 +107,9 @@ def main():
         "stage1h": ((bs, 8, 56, 56, 72), 2, True),
         "stage0h": ((bs, 8, 112, 112, 72), 1, True),
     }
-    # Large's stride-2 stage-entry blocks: (input shape, out channels).
-    entry_cases = {
-        "entry1": ((bs, 8, 112, 112, 72), 72),
-        "entry2": ((bs, 8, 56, 56, 72), 144),
-        "entry3": ((bs, 8, 28, 28, 144), 288),
-        "entry4": ((bs, 8, 14, 14, 288), 576),
-    }
     results = {"device": str(jax.devices()[0]), "dtype": args.dtype,
                "batch": bs, "max_shift": k, "cases": {}}
     for name in args.cases.split(","):
-        if name in entry_cases:
-            shape, mid = entry_cases[name]
-            n, t, h, w, cin = shape
-            x = jnp.asarray(np.random.RandomState(0).randn(*shape), dtype)
-            eparams, estats = make_entry_block(cin, mid, k, dtype)
-            case = {"shape": list(shape), "mid": mid}
-            configs = set(args.configs.split(","))
-
-            def time_one(label, fn):
-                try:
-                    dt = time_chained(fn, x, n_lo=1, n_hi=9, repeats=3)
-                    case[label] = round(dt * 1e3, 3)
-                    print(f"{name} {label}: {dt*1e3:.2f} ms", flush=True)
-                except Exception as e:
-                    case[label] = None
-                    print(f"{name} {label}: FAILED {e}", flush=True)
-
-            if "entry" in configs and fused_entry_supported(
-                    shape, cin, mid, k, dtype, se=True):
-                stacked = stack_entry_params(eparams, estats, dtype, k)
-                se_w = stack_se_params([eparams])[0]
-                time_one("entry_fused_ms", lambda xv: fused_entry_run(
-                    xv, stacked, se_w, max_shift=k))
-            if "unfused" in configs:
-                block = RubiksShiftBlock(
-                    in_planes=cin, out_planes=mid, stride=2, use_se=12,
-                    shift_backend="conv", shift_max_shift=k, dtype=dtype)
-                time_one("unfused_conv_ms", lambda xv: block.apply(
-                    {"params": eparams, "batch_stats": estats}, xv, False))
-            results["cases"][name] = case
-            continue
         shape, nb, htile = cases[name]
         n, t, h, w, c = shape
         x = jnp.asarray(np.random.RandomState(0).randn(*shape), dtype)

@@ -16,10 +16,10 @@ Configs (RubiksNet-Large, bf16, K=1, 8x224 clips):
   all: per-frame kernel wherever it fits (stage0's ws=7 plan included)
   off: all early stages on the unfused conv-backend chain (round-2
        behavior)
-  entry/hs/sebatch/...: candidate default flips (see `env` below)
+  hs/sebatch/...: candidate default flips (see `env` below)
 
 Writes MODEL_AB.json. Usage:
-  python scripts/model_ab.py --configs ws1,entry --pairs 5 [--batch 64]
+  python scripts/model_ab.py --configs ws1,off --pairs 5 [--batch 64]
 """
 
 import argparse
@@ -44,9 +44,9 @@ def main():
                    help="interleaved rounds; each round times every config "
                         "once and contributes one ratio-vs-first sample")
     p.add_argument("--configs", default="ws1,off",
-                   help="comma subset of {ws1,all,off,mxu1,mxu0,entry,"
-                        "hs,entryhs,sebatch,entrysb,offsb}; the FIRST is "
-                        "the ratio denominator")
+                   help="comma subset of {ws1,all,off,mxu1,mxu0,hs,"
+                        "sebatch,offsb}; the FIRST is the ratio "
+                        "denominator")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -77,7 +77,7 @@ def main():
     )
 
     _VARS = ("RUBIKS_FUSED_FRAMES", "RUBIKS_FUSED_FRAMES_MAX_WS",
-             "RUBIKS_FUSED_MXU_TAPS", "RUBIKS_FUSED_ENTRY",
+             "RUBIKS_FUSED_MXU_TAPS",
              "RUBIKS_FUSED_FRAMES_MAX_HS", "RUBIKS_FUSED_SE_BATCH")
 
     def set_env(vals):
@@ -95,17 +95,14 @@ def main():
         return fn
 
     env = {
-        "ws1": ("1", "1", "auto", "0", "1", "0"),     # pre-entry defaults
-        "all": ("1", "99", "auto", "0", "1", "0"),    # frames wherever fits
-        "off": ("0", "1", "auto", "0", "1", "0"),     # early unfused (r2)
-        "mxu1": ("1", "1", "1", "0", "1", "0"),       # force MXU tap fold
-        "mxu0": ("1", "1", "0", "0", "1", "0"),       # force VPU taps
-        "entry": ("1", "1", "auto", "1", "1", "0"),   # + fused entry blocks
-        "hs": ("1", "1", "auto", "0", "99", "0"),     # + stage0 frames
-        "entryhs": ("1", "1", "auto", "1", "99", "0"),  # entry + stage0
-        "sebatch": ("1", "1", "auto", "0", "1", "1"),   # ws1 + batched SE
-        "entrysb": ("1", "1", "auto", "1", "1", "1"),   # entry + batched SE
-        "offsb": ("0", "1", "auto", "0", "1", "1"),     # off + batched SE
+        "ws1": ("1", "1", "auto", "1", "0"),    # round-3 defaults
+        "all": ("1", "99", "auto", "1", "0"),   # frames wherever fits
+        "off": ("0", "1", "auto", "1", "0"),    # early unfused (r2)
+        "mxu1": ("1", "1", "1", "1", "0"),      # force MXU tap fold
+        "mxu0": ("1", "1", "0", "1", "0"),      # force VPU taps
+        "hs": ("1", "1", "auto", "99", "0"),    # + stage0 frames
+        "sebatch": ("1", "1", "auto", "1", "1"),  # ws1 + batched SE
+        "offsb": ("0", "1", "auto", "1", "1"),    # off + batched SE
     }
     configs = {k: forward_with(*v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
