@@ -12,11 +12,14 @@ device and writes SHIFT_MICROBENCH.json. Three measurements per stage:
 This runtime's wall clock drifts up to 4x between sessions and ~2x within
 one (docs/PERF_NOTES.md), so one-shot sequential timings cannot rank
 backends. Like scripts/model_ab.py: all backends are compiled up front, then
-timed round-robin for --rounds rounds (direction alternating to cancel
-linear drift); the artifact records per-round samples, the MEDIAN per
-backend, and the median PER-ROUND ratio of each backend vs the fastest
-backend of that round — the ratio is computed within one round, so the
-chip-phase multiplier divides out.
+timed round-robin for --rounds rounds (seeded per-round shuffle to cancel
+both linear drift and position bias); the artifact records per-round
+samples, the MEDIAN per backend, and the median PER-ROUND ratio of each
+backend vs the fastest backend of that round — the ratio is computed within
+one round, so the chip-phase multiplier divides out. ``auto`` is recorded
+as its trace-time resolution per cell (not re-timed: it lowers to the
+identical HLO as the backend it picks, which XLA's executable cache
+dedupes), next to the cell's measured ``winner`` for the agreement check.
 
 Results MERGE into --out: each (stage, mode) cell is overwritten when
 re-measured, everything else is kept — so the artifact can be captured one
@@ -96,11 +99,18 @@ def main():
         {label: {ms: [...], median_ms, median_ratio_vs_best}}.
         An inconclusive sample (chained delta below the tunnel's fetch
         jitter) records as null and drops out of that round's ratio.
+
+        Order is a seeded per-round shuffle, not strict alternation: this
+        chip's within-session drift has structure on the seconds timescale,
+        and a fixed order gives edge positions a systematic penalty (an
+        identical-HLO alias of the round winner measured a 5x 'loss' under
+        first/last-alternation in the round-4 stage1 capture).
         """
         labels = list(timers)
         samples = {l: [] for l in labels}
         for rnd in range(args.rounds):
-            order = labels if rnd % 2 == 0 else labels[::-1]
+            order = [labels[i] for i in
+                     np.random.RandomState(rnd).permutation(len(labels))]
             for l in order:
                 try:
                     samples[l].append(timers[l].sample(repeats=2) * 1e3)
@@ -153,11 +163,36 @@ def main():
             return lambda og_: s3d.rubiks_shift_3d_shift_grad(
                 og_, x, shift, backend=backend, max_shift=k)
 
+        # `auto` is NOT timed as its own row: under jit it resolves to one
+        # of the named backends at trace time and XLA's executable cache
+        # dedupes the identical HLO, so timing it separately only measures
+        # scheduling noise (observed: an identical-HLO alias 'losing' 5x to
+        # itself). Instead each cell records what auto resolves to, checked
+        # against the cell's measured winner.
+        from rubiksnet_tpu.ops.auto_backend import (
+            choose_forward_backend, choose_input_grad_backend,
+            choose_shift_grad_backend,
+        )
+
+        ones, zeros = (1, 1, 1), (0, 0, 0)
+        resolve = {
+            "fwd": choose_forward_backend(
+                shape, ones, zeros, False, k, dtype),
+            "bwd": {
+                "input_grad": choose_input_grad_backend(
+                    shape, shape, ones, zeros, False, k, dtype),
+                "shift_grad": choose_shift_grad_backend(
+                    shape, shape, ones, zeros, k, dtype),
+            },
+            "shift_grad": choose_shift_grad_backend(
+                shape, shape, ones, zeros, k, dtype),
+        }
+
         case = results["cases"].setdefault(name, {})
         for mode, maker, arg, backends in (
-            ("fwd", make_fwd, x, ("pallas", "conv", "select", "auto")),
-            ("bwd", make_bwd, x, ("pallas", "conv", "select", "auto")),
-            ("shift_grad", make_sgrad, og, ("pallas", "gather", "auto")),
+            ("fwd", make_fwd, x, ("pallas", "conv", "select")),
+            ("bwd", make_bwd, x, ("pallas", "conv", "select")),
+            ("shift_grad", make_sgrad, og, ("pallas", "gather", "select")),
         ):
             if mode not in modes_wanted:
                 continue
@@ -172,12 +207,23 @@ def main():
                     errors[b] = str(e)[:120]
             timed = interleave(timers) if timers else {}
             timed.update({b: {"error": e} for b, e in errors.items()})
-            case[mode] = timed
+            winner = min(
+                (b for b in timed if "median_ratio_vs_best" in timed[b]),
+                key=lambda b: timed[b]["median_ratio_vs_best"],
+                default=None,
+            )
+            case[mode] = {
+                "backends": timed,
+                "winner": winner,
+                "auto_resolves_to": resolve[mode],
+            }
             for b, row in timed.items():
                 if "median_ms" in row:
                     print(f"{name} {mode} {b}: median {row['median_ms']} ms "
                           f"(ratio-vs-best {row['median_ratio_vs_best']})",
                           flush=True)
+            print(f"{name} {mode}: winner={winner} "
+                  f"auto_resolves_to={resolve[mode]}", flush=True)
             # Persist after every completed (stage, mode) cell: a timeout
             # later in the run must not discard measurements already taken.
             with open(args.out, "w") as f:
