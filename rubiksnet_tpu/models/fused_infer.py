@@ -99,14 +99,13 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     x = stem.apply({"params": params["conv1"]}, video)
 
     aq = model.variant == "rubiks3d-aq"
-    # Clips too large for whole-clip VMEM (the 112^2/56^2 early stages) run
-    # the per-frame grid-phase kernel instead; opt-out for A/B. Only plans
-    # of quality ws <= max_ws are routed: a same-session full-model ABBA
-    # (scripts/model_ab.py, MODEL_AB.json) showed stage1's clean (f32, ws=1)
-    # plan wins big while stage0's degraded (bf16-scratch, ws=7) plan loses
-    # about as much as stage1 gains — so heavily W-split plans fall back to
-    # the unfused conv chain.
-    use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "1") == "1"
+    # Early stages too large for whole-clip VMEM (112^2/56^2) default to the
+    # unfused XLA conv chain: the drift-robust 5-round interleaved A/B
+    # (MODEL_AB.json, round 4) showed routing stage1 through the per-frame
+    # grid-phase kernel LOSES end-to-end (median ratio 1.134 for turning it
+    # off) — the round-3 single-capture that flipped it on was drift noise.
+    # RUBIKS_FUSED_FRAMES=1 re-enables for A/B.
+    use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "0") == "1"
     frames_max_ws = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_WS", "1"))
     # H-chunked ws=1 plans (stage0's shape) are gated separately until the
     # on-chip A/B says they beat the unfused chain.
