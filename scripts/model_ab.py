@@ -124,7 +124,16 @@ def main():
     def write_out(rounds_done):
         # Persist after EVERY completed round: a killed run still leaves
         # decision-grade partial data on disk (VERDICT r3 #1 discipline).
-        done = {k: v for k, v in samples.items() if v}
+        # None samples (inconclusive under contention) drop out of that
+        # config's stats and of that round's ratios.
+        done = {k: [s for s in v if s is not None]
+                for k, v in samples.items()}
+        done = {k: v for k, v in done.items() if v}
+
+        def ratios(v):
+            return [b / s for b, s in zip(samples[base], v)
+                    if b is not None and s is not None]
+
         out = {
             "device": str(jax.devices()[0]),
             "batch": args.batch,
@@ -145,12 +154,12 @@ def main():
             # dt), each ratio computed within one round. > 1.0 means faster
             # than the first config.
             "median_ratio_vs_" + base: {
-                k: round(median([b / s for b, s in zip(samples[base], v)]), 3)
-                for k, v in done.items() if k != base
+                k: round(median(ratios(samples[k])), 3)
+                for k in done if k != base and ratios(samples[k])
             },
             "ratio_spread_vs_" + base: {
-                k: [round(b / s, 3) for b, s in zip(samples[base], v)]
-                for k, v in done.items() if k != base
+                k: [round(r, 3) for r in ratios(samples[k])]
+                for k in done if k != base
             },
         }
         tmp = args.out + ".tmp"
@@ -165,7 +174,15 @@ def main():
     for rnd in range(args.pairs):
         order = which if rnd % 2 == 0 else which[::-1]
         for label in order:
-            dt = timers[label].sample(repeats=2)
+            try:
+                dt = timers[label].sample(repeats=2)
+            except RuntimeError as e:
+                # Inconclusive chained delta (host/TPU contention spike):
+                # drop this (config, round) cell instead of losing the study.
+                print(f"[round {rnd + 1}/{args.pairs}] {label}: "
+                      f"inconclusive ({e})", flush=True)
+                samples[label].append(None)
+                continue
             samples[label].append(dt)
             print(
                 f"[round {rnd + 1}/{args.pairs}] {label}: "
