@@ -473,8 +473,11 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         before per-frame conv3). Default on; RUBIKS_FUSED_MXU_TAPS=0
         disables for A/B.
       se_batch: batch the SE gate matmuls over all frames and run conv3 as
-        ONE whole-clip matmul instead of t_len per-frame matmuls
-        (RUBIKS_FUSED_SE_BATCH=0/1; opt-in until measured on-chip).
+        ONE whole-clip matmul instead of t_len per-frame matmuls. Default ON
+        (RUBIKS_FUSED_SE_BATCH=0 disables for A/B): the 5-round interleaved
+        median is 1.172x vs per-frame SE (MODEL_AB.json round 4) and the
+        on-chip exactness checks pass (PALLAS_TPU_OK.json
+        fused_block_se_batch_*).
 
     Returns (N, T, H, W, C), equal to applying the B blocks sequentially.
     """
@@ -502,14 +505,16 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
         if env in ("0", "1"):
             mxu_taps = env == "1"
         else:
-            # Measured on-chip at bs64 (FUSED_AB.json history): with a bf16
+            # Measured on-chip at bs64 (docs/PERF_NOTES.md round-3 "per-shape
+            # tap schedule" section; frames-kernel analogue in
+            # FUSED_AB_FRAMES.json): with a bf16
             # halo scratch every VPU tap pays a bf16->f32 relayout and the
             # MXU fold wins 15x (stage2); with an f32 scratch the taps are
             # native VPU work and the diagonal matmuls only add MXU load --
             # VPU wins 3.2x (stage3) / 2.3x (stage4).
             mxu_taps = sdtype != jnp.float32
     if se_batch is None:
-        se_batch = os.environ.get("RUBIKS_FUSED_SE_BATCH", "0") == "1"
+        se_batch = os.environ.get("RUBIKS_FUSED_SE_BATCH", "1") == "1"
     x3 = x.reshape(n * th, w_len, c)
     kernel = functools.partial(
         _kernel if se is not None else _kernel_no_se,
