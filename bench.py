@@ -99,20 +99,25 @@ def main():
                         "so one wedged compile cannot hang the whole bench)")
     p.add_argument("--per-batch-timeout", type=int, default=None,
                    help="seconds allowed per batch size in child-process "
-                        "mode (default 900; 2700 in train mode, whose remat "
+                        "mode (default 420; 2700 in train mode, whose remat "
                         "backward graph compiles far slower)")
     p.add_argument("--total-budget", type=int, default=None,
                    help="total wall-clock seconds for the whole supervised "
-                        "run (default: env RUBIKS_BENCH_BUDGET_S or 2400). "
-                        "Children are never launched with a window larger "
-                        "than what remains; when the budget runs out the "
-                        "merged partial result is the final output")
+                        "run (default: env RUBIKS_BENCH_BUDGET_S, or 1200 "
+                        "infer / 2400 train — sized so the default infer "
+                        "sweep FINISHES inside the driver's window instead "
+                        "of salvaging a partial; rc=124 two rounds running "
+                        "at the old 2400s default). Children are never "
+                        "launched with a window larger than what remains; "
+                        "when the budget runs out the merged partial result "
+                        "is the final output")
     args = p.parse_args()
     if args.total_budget is None:
         args.total_budget = int(
-            os.environ.get("RUBIKS_BENCH_BUDGET_S", "2400"))
+            os.environ.get("RUBIKS_BENCH_BUDGET_S",
+                           "2400" if args.mode == "train" else "1200"))
     if args.per_batch_timeout is None:
-        args.per_batch_timeout = 2700 if args.mode == "train" else 900
+        args.per_batch_timeout = 2700 if args.mode == "train" else 420
     if args.sweep:
         args.batch_sizes = SWEEP_BATCHES
 
@@ -128,6 +133,7 @@ def main():
     import contextlib
 
     from rubiksnet_tpu.models import create_rubiksnet
+    from rubiksnet_tpu.models.fused_infer import resolved_fused_config
     from rubiksnet_tpu.utils.benchmark import time_chained, time_chained_carry
     from rubiksnet_tpu.utils.profiling import trace
 
@@ -277,6 +283,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "fused_env": {k: v for k, v in sorted(os.environ.items())
                                   if k.startswith("RUBIKS_FUSED")},
+                    "fused_config": resolved_fused_config(),
                     **(
                         {"train_step_over_forward":
                          {str(k): v for k, v in fwd_ratio.items()}}
@@ -310,6 +317,7 @@ def supervise(args):
         return args.total_budget - (time.monotonic() - t0)
 
     merged_results, merged_util, merged_ratio = {}, {}, {}
+    merged_cfg = {}
     metric = device = None
     base_cmd = [
         sys.executable, os.path.abspath(__file__), "--in-process",
@@ -387,6 +395,7 @@ def supervise(args):
                 # inherit them), so a capture is traceable to its config.
                 "fused_env": {k: v for k, v in sorted(os.environ.items())
                               if k.startswith("RUBIKS_FUSED")},
+                **({"fused_config": merged_cfg} if merged_cfg else {}),
                 **({"train_step_over_forward": merged_ratio}
                    if merged_ratio else {}),
                 **({"partial": partial_note} if partial_note else {}),
@@ -409,7 +418,29 @@ def supervise(args):
                 pass
         print(json.dumps(result), flush=True)
 
+    def absorb(out):
+        """Max-merge one child result: keep the best capture per batch size.
+
+        The chip's wall clock drifts up to 4x on a minutes timescale
+        (docs/PERF_NOTES.md), and children run sequentially — a slow-phase
+        child under-reports its batch point relative to siblings that ran in
+        a fast phase. Per-batch best-of-passes is the cross-child analogue
+        of the min-of-repeats estimator the child already uses inside one
+        process; the hbm_util>1 sanity gate in merged() still rejects
+        physically impossible captures."""
+        nonlocal metric, device
+        metric = out["metric"]
+        device = out["detail"].get("device")
+        merged_cfg.update(out["detail"].get("fused_config", {}))
+        merged_ratio.update(out["detail"].get("train_step_over_forward", {}))
+        for k, v in out["detail"]["batch_sweep"].items():
+            if v > merged_results.get(k, 0.0):
+                merged_results[k] = v
+                if k in out["detail"].get("utilization", {}):
+                    merged_util[k] = out["detail"]["utilization"][k]
+
     todo = list(args.batch_sizes)
+    n_done = 0
     for i, bs in enumerate(todo):
         # Floor: don't bother launching into a window where even a fully
         # warm child (compile cached, ~32 timed iters) cannot finish.
@@ -442,14 +473,26 @@ def supervise(args):
                 out = retry
         if not isinstance(out, dict):
             continue
-        metric = out["metric"]
-        device = out["detail"].get("device")
-        merged_results.update(out["detail"]["batch_sweep"])
-        merged_util.update(out["detail"].get("utilization", {}))
-        merged_ratio.update(out["detail"].get("train_step_over_forward", {}))
+        absorb(out)
+        n_done += 1
         note = (f"{i + 1}/{len(todo)} batch sizes merged"
                 if i + 1 < len(todo) else None)
         persist_and_emit(merged(partial_note=note))
+
+    # Second pass, budget permitting: every child is a warm start now
+    # (persistent compile cache), so re-measuring each point costs ~1-2 min
+    # and gives every batch size a second chip phase. Max-merge per point
+    # (see absorb): the sweep then compares batch sizes on their best
+    # observed phase instead of whichever phase their single child drew —
+    # the bs32/96-vs-64 "cliff" of BENCH_r04 was exactly this artifact.
+    if n_done == len(todo):
+        for bs in todo:
+            if remaining() < 150:
+                break
+            out = run_child(bs, 3, min(args.per_batch_timeout, remaining()))
+            if isinstance(out, dict):
+                absorb(out)
+                persist_and_emit(merged(partial_note="second pass"))
 
     if merged_results:
         # Final authoritative line: the merged result with no partial note
