@@ -26,7 +26,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--case", default="stage3",
                    choices=["stage2", "stage3", "stage4", "stage1h",
-                            "stage0h", "model"])
+                            "stage0h", "model", "train"])
     p.add_argument("--config", default="vpu",
                    choices=["mxu", "vpu", "frames", "framesvpu", "auto"])
     p.add_argument("--batch", type=int, default=64)
@@ -70,6 +70,32 @@ def main():
             np.random.RandomState(0).randn(bs, 8, 224, 224, 3), dtype)
         fn = jax.jit(
             lambda v: fused_infer_apply(bundle.model, bundle.variables, v))
+    elif args.case == "train":
+        # Per-op attribution of the FULL Large train step (scanned stages +
+        # remat + auto shift backends, the bench.py --mode train program):
+        # where the 3.9x train-step:forward ratio of BENCH_TRAIN_r04
+        # actually goes — remat recompute, shift-grad reduction, matmul
+        # backward, or SGD/BN bookkeeping (VERDICT r4 missing #4).
+        from rubiksnet_tpu.models import create_rubiksnet
+        from rubiksnet_tpu.train import (
+            create_train_state, make_train_step, sgd_with_shift_mult,
+        )
+
+        bundle = create_rubiksnet(
+            "large", num_classes=174, num_frames=8, input_size=64,
+            dtype=dtype, shift_backend="auto", shift_max_shift=1,
+            remat=True, scan_blocks=True,
+        )
+        tx = sgd_with_shift_mult(1e-3, 0.1)
+        state = create_train_state(bundle, tx)
+        video = jnp.asarray(
+            np.random.RandomState(0).randn(bs, 8, 224, 224, 3), jnp.float32)
+        labels = jnp.asarray(np.arange(bs) % 174, jnp.int32)
+        step = jax.jit(lambda s: make_train_step(bundle.model, tx)(
+            s, video, labels)[0])
+        # Same shape in and out -> reuse the generic trace loop below.
+        x = state
+        fn = step
     else:
         shape, nb = cases[args.case]
         n, t, h, w, c = shape
@@ -85,16 +111,20 @@ def main():
             fn = jax.jit(lambda xv: fused_block_run(
                 xv, vt, wm, max_shift=k, mxu_taps=mxu))
 
+    def fence(v):
+        # block_until_ready returns early on this runtime; a device fetch is
+        # the only true completion fence.
+        leaf = jax.tree_util.tree_leaves(v)[0]
+        _ = float(jnp.sum(leaf.astype(jnp.float32)))
+
     # Warm up (compile) outside the trace, then capture a few iterations.
     out = fn(x)
-    out.block_until_ready()
-    _ = float(jnp.sum(out))  # true completion fence on this runtime
+    fence(out)
     with jax.profiler.trace(args.dir):
         y = x
         for _ in range(args.iters):
             y = fn(y)
-        y.block_until_ready()
-        _ = float(jnp.sum(y))
+        fence(y)
 
     planes = sorted(glob.glob(
         os.path.join(args.dir, "**", "*.xplane.pb"), recursive=True),
