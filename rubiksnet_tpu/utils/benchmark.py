@@ -20,11 +20,20 @@ from jax import lax
 
 
 def _measure_diff(f_lo, f_hi, example, n_lo: int, n_hi: int, repeats: int) -> float:
-    """Run compiled chained loops, difference best-case wall times.
+    """Run compiled chained loops, difference PAIRED wall times.
 
-    Per-repeat differences go negative under the ~0.5 s fetch-latency jitter
-    of the tunneled runtime, so keep sampling (up to 3x the requested
-    repeats) until the delta clears the jitter."""
+    Each attempt runs the lo loop and the hi loop back-to-back and records
+    their difference: both sides of one attempt share the chip phase, so the
+    runtime's minutes-scale drift (up to 4x, docs/PERF_NOTES.md) divides out
+    of the pair instead of corrupting the estimate. The estimator is the
+    MEDIAN of the per-attempt differences — min-of-mins across attempts (the
+    previous scheme) could pair a slow-phase lo with a fast-phase hi and
+    imply physically impossible throughput (observed: 12.7k clips/s for a
+    program whose HBM floor is ~900).
+
+    Individual differences still go negative under the ~0.5 s fetch-latency
+    jitter; sampling continues (up to 3x the requested repeats) until the
+    median clears zero."""
 
     def run(f):
         r = f(example)
@@ -32,21 +41,30 @@ def _measure_diff(f_lo, f_hi, example, n_lo: int, n_hi: int, repeats: int) -> fl
 
     run(f_lo)  # compile both
     run(f_hi)
-    lo_times, hi_times = [], []
+    diffs, lo_times, hi_times = [], [], []
     for attempt in range(3 * repeats):
         t0 = time.perf_counter()
         run(f_lo)
-        lo_times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
+        t1 = time.perf_counter()
         run(f_hi)
-        hi_times.append(time.perf_counter() - t0)
-        if attempt + 1 >= repeats and min(hi_times) - min(lo_times) > 0:
+        t2 = time.perf_counter()
+        lo_times.append(t1 - t0)
+        hi_times.append(t2 - t1)
+        diffs.append((t2 - t1) - (t1 - t0))
+        if attempt + 1 >= repeats and float(np.median(diffs)) > 0:
             break
-    diff = min(hi_times) - min(lo_times)
+    diff = float(np.median(diffs))
+    if diff <= 0:
+        # Sub-jitter regime (half the paired diffs negative): the loop body
+        # is so short that additive scheduling noise dominates. There the
+        # noise is one-sided (delays), so min-of-each-side is the mode
+        # estimator; phase drift cannot matter at these durations.
+        diff = min(hi_times) - min(lo_times)
     if diff <= 0:
         raise RuntimeError(
-            f"chained timing inconclusive: hi={min(hi_times):.3f}s "
-            f"lo={min(lo_times):.3f}s — increase n_hi"
+            f"chained timing inconclusive: median paired diff "
+            f"{float(np.median(diffs)):.3f}s over {len(diffs)} attempts "
+            f"— increase n_hi"
         )
     return diff / (n_hi - n_lo)
 

@@ -129,6 +129,13 @@ def main():
                       f"inconclusive ({e})", flush=True)
                 samples[bs].append(None)
                 continue
+            if 1.0 / dt > 3000.0:
+                # Plausibility gate (cf. model_ab): beyond any roofline for
+                # Large bf16 on v5e — an estimator glitch, not a fast phase.
+                print(f"[round {rnd + 1}/{args.rounds}] bs={bs}: implausible "
+                      f"sample ({1.0 / dt:.0f} clips/s) dropped", flush=True)
+                samples[bs].append(None)
+                continue
             samples[bs].append(dt)
             print(f"[round {rnd + 1}/{args.rounds}] bs={bs}: "
                   f"{dt * 1e6:.1f} us/clip = {1.0 / dt:.1f} clips/s",

@@ -39,7 +39,10 @@ def main():
     p.add_argument("--tier", default="large")
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=224)
-    p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--iters", type=int, default=32,
+                   help="chained iterations of the hi loop; the (iters-1)-"
+                        "iteration delta must dominate the ~0.5s fetch "
+                        "jitter even in a slow chip phase")
     p.add_argument("--pairs", type=int, default=5,
                    help="interleaved rounds; each round times every config "
                         "once and contributes one ratio-vs-first sample")
@@ -47,6 +50,11 @@ def main():
                    help="comma subset of {ws1,all,off,mxu1,mxu0,hs,"
                         "sebatch,offsb}; the FIRST is the ratio "
                         "denominator")
+    p.add_argument("--max-clips-per-s", type=float, default=3000.0,
+                   help="plausibility gate: a sample implying more than "
+                        "this is a chained-delta estimator glitch (Large "
+                        "bf16 tops out ~1.5k clips/s at the MXU roofline; "
+                        "observed glitch: 12.7k), recorded as inconclusive")
     args = p.parse_args()
 
     from rubiksnet_tpu.utils.platform import select_platform
@@ -175,12 +183,18 @@ def main():
         order = which if rnd % 2 == 0 else which[::-1]
         for label in order:
             try:
-                dt = timers[label].sample(repeats=2)
+                dt = timers[label].sample(repeats=3)
             except RuntimeError as e:
                 # Inconclusive chained delta (host/TPU contention spike):
                 # drop this (config, round) cell instead of losing the study.
                 print(f"[round {rnd + 1}/{args.pairs}] {label}: "
                       f"inconclusive ({e})", flush=True)
+                samples[label].append(None)
+                continue
+            if args.batch / dt > args.max_clips_per_s:
+                print(f"[round {rnd + 1}/{args.pairs}] {label}: implausible "
+                      f"sample ({args.batch / dt:.0f} clips/s) dropped",
+                      flush=True)
                 samples[label].append(None)
                 continue
             samples[label].append(dt)
