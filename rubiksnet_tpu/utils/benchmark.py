@@ -36,6 +36,12 @@ def _measure_diff(f_lo, f_hi, example, n_lo: int, n_hi: int, repeats: int) -> fl
     median clears zero."""
 
     def run(f):
+        # The chained loops return a SCALAR digest of the final carry (see
+        # _scalar_chain): fetching it forces completion at ~zero transfer
+        # cost. Fetching the carry itself (e.g. a 154 MB bf16 video batch at
+        # bs64) pushed a multi-second, highly variable tunnel transfer into
+        # every timed region — the dominant noise source behind the
+        # "impossible throughput" samples of rounds 1-4.
         r = f(example)
         _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0]
 
@@ -69,6 +75,17 @@ def _measure_diff(f_lo, f_hi, example, n_lo: int, n_hi: int, repeats: int) -> fl
     return diff / (n_hi - n_lo)
 
 
+def _scalar_digest(carry):
+    """Reduce a loop carry to one f32 scalar that depends on every leaf, so
+    fetching the loop result costs one scalar transfer instead of shipping
+    the full carry (possibly hundreds of MB) through the tunnel."""
+    return sum(
+        jnp.sum(leaf.astype(jnp.float32))
+        for leaf in jax.tree_util.tree_leaves(carry)
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+
+
 def time_chained(
     fn: Callable,
     example_input: jax.Array,
@@ -95,7 +112,7 @@ def time_chained(
             leaf = jax.tree_util.tree_leaves(out)[0]
             return v + (leaf.sum() * 0).astype(v.dtype)
 
-        return jax.jit(lambda v: lax.fori_loop(0, n, body, v), static_argnums=())
+        return jax.jit(lambda v: _scalar_digest(lax.fori_loop(0, n, body, v)))
 
     err = None
     while True:
@@ -129,7 +146,8 @@ class ChainedTimer:
             return v + (leaf.sum() * 0).astype(v.dtype)
 
         def chained(n):
-            return jax.jit(lambda v: lax.fori_loop(0, n, body, v))
+            return jax.jit(
+                lambda v: _scalar_digest(lax.fori_loop(0, n, body, v)))
 
         self._lo, self._hi = chained(n_lo), chained(n_hi)
         self._n_lo, self._n_hi = n_lo, n_hi
@@ -168,7 +186,9 @@ def time_chained_carry(
     """
 
     def chained(n):
-        return jax.jit(lambda c: lax.fori_loop(0, n, lambda i, c: fn(c), c))
+        return jax.jit(
+            lambda c: _scalar_digest(
+                lax.fori_loop(0, n, lambda i, c: fn(c), c)))
 
     while True:
         try:

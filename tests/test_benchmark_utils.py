@@ -34,18 +34,18 @@ def test_chained_timer_positive_and_reusable():
 
 
 def test_chained_timer_does_not_perturb_values():
-    """The chained dependency injects exactly zero: fn's own output on the
-    original input must be unchanged by the loop plumbing."""
+    """The chained dependency injects exactly zero: the carry after N rounds
+    is the original input, so its scalar digest (the loop's fetch-cheap
+    return value) equals sum(x)."""
     x = jnp.asarray(np.random.RandomState(1).randn(8, 16), jnp.float32)
 
     def fn(v):
         return v * 2.0 + 1.0
 
-    # Build the same chained loop ChainedTimer uses and check the carried
-    # input is bit-identical after N rounds.
     t = ChainedTimer(fn, x, n_lo=1, n_hi=4)
-    carried = t._hi(x)
-    np.testing.assert_array_equal(np.asarray(carried), np.asarray(x))
+    digest = t._hi(x)
+    np.testing.assert_allclose(
+        np.asarray(digest), float(np.asarray(x).sum()), rtol=1e-5)
 
 
 def test_time_chained_matches_timer_scale():
