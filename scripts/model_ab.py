@@ -46,9 +46,9 @@ def main():
     p.add_argument("--pairs", type=int, default=5,
                    help="interleaved rounds; each round times every config "
                         "once and contributes one ratio-vs-first sample")
-    p.add_argument("--configs", default="ws1,off",
-                   help="comma subset of {ws1,all,off,mxu1,mxu0,hs,"
-                        "sebatch,offsb}; the FIRST is the ratio "
+    p.add_argument("--configs", default="offsb,sebatch",
+                   help="comma subset of {offsb,off,sebatch,ws1,allsb,hssb,"
+                        "mxu1,mxu0,g16,g4}; the FIRST is the ratio "
                         "denominator")
     p.add_argument("--max-clips-per-s", type=float, default=3000.0,
                    help="plausibility gate: a sample implying more than "
@@ -84,35 +84,46 @@ def main():
         device,
     )
 
-    _VARS = ("RUBIKS_FUSED_FRAMES", "RUBIKS_FUSED_FRAMES_MAX_WS",
-             "RUBIKS_FUSED_MXU_TAPS",
-             "RUBIKS_FUSED_FRAMES_MAX_HS", "RUBIKS_FUSED_SE_BATCH")
+    # Executor scheduling knobs; every config states every knob explicitly
+    # (read at trace time inside fused_infer_apply / the fused kernels).
+    _DEFAULTS = {
+        "RUBIKS_FUSED_FRAMES": "0",
+        "RUBIKS_FUSED_FRAMES_MAX_WS": "1",
+        "RUBIKS_FUSED_MXU_TAPS": "auto",
+        "RUBIKS_FUSED_FRAMES_MAX_HS": "1",
+        "RUBIKS_FUSED_SE_BATCH": "1",
+        "RUBIKS_FUSED_GROUP": "8",
+    }
 
-    def set_env(vals):
-        for var, val in zip(_VARS, vals):
+    def set_env(overrides):
+        for var, val in {**_DEFAULTS, **{
+                "RUBIKS_FUSED_" + k: v for k, v in overrides.items()}}.items():
             os.environ[var] = val
 
-    def forward_with(*vals):
-        # The env vars are read at trace time inside fused_infer_apply /
-        # the fused kernels; freeze them into this closure by setting them
-        # at every trace.
+    def forward_with(overrides):
+        # Freeze the env into this closure by setting it at every trace.
         def fn(v):
-            set_env(vals)
+            set_env(overrides)
             return fused_infer_apply(bundle.model, variables, v)
 
         return fn
 
     env = {
-        "ws1": ("1", "1", "auto", "1", "0"),    # round-3 defaults
-        "all": ("1", "99", "auto", "1", "0"),   # frames wherever fits
-        "off": ("0", "1", "auto", "1", "0"),    # early unfused (r2)
-        "mxu1": ("1", "1", "1", "1", "0"),      # force MXU tap fold
-        "mxu0": ("1", "1", "0", "1", "0"),      # force VPU taps
-        "hs": ("1", "1", "auto", "99", "0"),    # + stage0 frames
-        "sebatch": ("1", "1", "auto", "1", "1"),  # ws1 + batched SE
-        "offsb": ("0", "1", "auto", "1", "1"),    # off + batched SE
+        # Baselines (sb = batched SE, the shipped default):
+        "offsb": {},                                  # frames off + sb
+        "off": {"SE_BATCH": "0"},                     # frames off, no sb
+        # Per-frame kernel routing for the early stages:
+        "sebatch": {"FRAMES": "1"},                   # stage1 (ws==1) + sb
+        "ws1": {"FRAMES": "1", "SE_BATCH": "0"},      # stage1, no sb
+        "allsb": {"FRAMES": "1", "FRAMES_MAX_WS": "99"},  # wherever it fits
+        "hssb": {"FRAMES": "1", "FRAMES_MAX_HS": "99"},   # + stage0 plans
+        # Tap-schedule and grouping probes:
+        "mxu1": {"FRAMES": "1", "MXU_TAPS": "1"},
+        "mxu0": {"FRAMES": "1", "MXU_TAPS": "0"},
+        "g16": {"FRAMES": "1", "GROUP": "16"},
+        "g4": {"FRAMES": "1", "GROUP": "4"},
     }
-    configs = {k: forward_with(*v) for k, v in env.items()}
+    configs = {k: forward_with(v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
     base = which[0]
     # Trace + compile every config ONCE up front (ChainedTimer): the env
