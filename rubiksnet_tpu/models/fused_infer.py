@@ -42,13 +42,12 @@ def resolved_fused_config() -> dict:
     not just which env vars happened to be set (VERDICT r4 weak #1: a bench
     captured with `fused_env: {}` was unattributable to a config)."""
     return {
-        "frames": os.environ.get("RUBIKS_FUSED_FRAMES", "0"),
+        "frames": os.environ.get("RUBIKS_FUSED_FRAMES", "1"),
         "frames_max_ws": os.environ.get("RUBIKS_FUSED_FRAMES_MAX_WS", "1"),
         "frames_max_hs": os.environ.get("RUBIKS_FUSED_FRAMES_MAX_HS", "1"),
-        "mxu_taps": os.environ.get("RUBIKS_FUSED_MXU_TAPS", "auto"),
+        "mxu_taps": os.environ.get("RUBIKS_FUSED_MXU_TAPS", "0"),
         "se_batch": os.environ.get("RUBIKS_FUSED_SE_BATCH", "1"),
         "group": os.environ.get("RUBIKS_FUSED_GROUP", "8"),
-        "htile": os.environ.get("RUBIKS_FUSED_HTILE", "0"),
     }
 
 
@@ -115,13 +114,16 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     x = stem.apply({"params": params["conv1"]}, video)
 
     aq = model.variant == "rubiks3d-aq"
-    # Early stages too large for whole-clip VMEM (112^2/56^2) default to the
-    # unfused XLA conv chain: the drift-robust 5-round interleaved A/B
-    # (MODEL_AB.json, round 4) showed routing stage1 through the per-frame
-    # grid-phase kernel LOSES end-to-end (median ratio 1.134 for turning it
-    # off) — the round-3 single-capture that flipped it on was drift noise.
-    # RUBIKS_FUSED_FRAMES=1 re-enables for A/B.
-    use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "0") == "1"
+    # Early stages too large for whole-clip VMEM (112^2/56^2): stages with a
+    # CLEAN per-frame plan (no W splits, ws == 1 — stage1's 56^2 shape) run
+    # through the per-frame grid-phase kernel; stage0's degraded plan stays
+    # on the unfused XLA conv chain. Measured on the fixed timing estimator:
+    # frames-ws1 routing is a 1.038x e2e median win over unfused early
+    # stages, and stage0 plans (hssb) a 0.78x loss (MODEL_AB_R5.json,
+    # 5-round interleaved; supersedes the round-4 MODEL_AB.json conclusion,
+    # which was taken with the fetch-noise-corrupted estimator).
+    # RUBIKS_FUSED_FRAMES=0 disables for A/B.
+    use_frames = os.environ.get("RUBIKS_FUSED_FRAMES", "1") == "1"
     frames_max_ws = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_WS", "1"))
     # H-chunked ws=1 plans (stage0's shape) are gated separately until the
     # on-chip A/B says they beat the unfused chain.

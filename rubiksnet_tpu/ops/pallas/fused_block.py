@@ -501,17 +501,16 @@ def fused_block_run(x, vt, wm, se=None, *, max_shift, aq=False, group=None,
     th = t_len * h_len
 
     if mxu_taps is None:
-        env = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "auto")
+        env = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "0")
         if env in ("0", "1"):
             mxu_taps = env == "1"
-        else:
-            # Measured on-chip at bs64 (docs/PERF_NOTES.md round-3 "per-shape
-            # tap schedule" section; frames-kernel analogue in
-            # FUSED_AB_FRAMES.json): with a bf16
-            # halo scratch every VPU tap pays a bf16->f32 relayout and the
-            # MXU fold wins 15x (stage2); with an f32 scratch the taps are
-            # native VPU work and the diagonal matmuls only add MXU load --
-            # VPU wins 3.2x (stage3) / 2.3x (stage4).
+        else:  # "auto": the per-shape heuristic, kept for A/B only
+            # Default is VPU taps everywhere: the clean 5-round interleaved
+            # e2e medians (MODEL_AB_R5.json, round 5) measured force-VPU at
+            # 1.181x vs the per-shape schedule and force-MXU at 0.785x. The
+            # round-3 per-stage captures that motivated this heuristic
+            # (mxu "15x" at bf16-scratch stage2) predate the fixed timing
+            # estimator (utils/benchmark.py) and were fetch-noise artifacts.
             mxu_taps = sdtype != jnp.float32
     if se_batch is None:
         se_batch = os.environ.get("RUBIKS_FUSED_SE_BATCH", "1") == "1"

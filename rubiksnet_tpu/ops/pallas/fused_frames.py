@@ -494,12 +494,12 @@ def fused_frames_run(x, vt, wm, se=None, *, max_shift, mxu_taps=None,
         vt.shape, taps_n)
     assert wm.shape == (nb, 2, c, c), wm.shape
     if mxu_taps is None:
-        env = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "auto")
+        env = os.environ.get("RUBIKS_FUSED_MXU_TAPS", "0")
         if env in ("0", "1"):
             mxu_taps = env == "1"
-        else:
-            # Same measured rule as fused_block_run: the MXU tap fold only
-            # pays off when VPU taps would eat bf16->f32 relayouts.
+        else:  # "auto": per-shape heuristic, kept for A/B only
+            # Default VPU taps, same measured rule as fused_block_run
+            # (MODEL_AB_R5.json: force-VPU 1.181x e2e median).
             mxu_taps = sdtype != jnp.float32
 
     use_vbuf = se is not None and ws > 1

@@ -10,16 +10,12 @@ drift), computes each config's PER-ROUND ratio against the first config
 divides out), and reports the MEDIAN ratio over rounds. Defaults flip on
 median ratios, never on single captures (VERDICT r3 #5).
 
-Configs (RubiksNet-Large, bf16, K=1, 8x224 clips):
-  ws1: per-frame kernel only for clean plans (ws == 1: stage1), stage0
-       unfused — the executor default
-  all: per-frame kernel wherever it fits (stage0's ws=7 plan included)
-  off: all early stages on the unfused conv-backend chain (round-2
-       behavior)
-  hs/sebatch/...: candidate default flips (see `env` below)
+Configs (RubiksNet-Large, bf16, K=1, 8x224 clips): "ship" is exactly the
+shipped executor defaults; every other config is a one-knob delta (see
+`env` below), so each ratio attributes one scheduling decision.
 
 Writes MODEL_AB.json. Usage:
-  python scripts/model_ab.py --configs ws1,off --pairs 5 [--batch 64]
+  python scripts/model_ab.py --configs ship,noframes --pairs 5 [--batch 64]
 """
 
 import argparse
@@ -46,9 +42,9 @@ def main():
     p.add_argument("--pairs", type=int, default=5,
                    help="interleaved rounds; each round times every config "
                         "once and contributes one ratio-vs-first sample")
-    p.add_argument("--configs", default="offsb,sebatch",
-                   help="comma subset of {offsb,off,sebatch,ws1,allsb,hssb,"
-                        "mxu1,mxu0,g16,g4}; the FIRST is the ratio "
+    p.add_argument("--configs", default="ship,noframes",
+                   help="comma subset of {ship,noframes,allws,hs,autotaps,"
+                        "mxutaps,nosb,g16,g4}; the FIRST is the ratio "
                         "denominator")
     p.add_argument("--max-clips-per-s", type=float, default=3000.0,
                    help="plausibility gate: a sample implying more than "
@@ -84,12 +80,13 @@ def main():
         device,
     )
 
-    # Executor scheduling knobs; every config states every knob explicitly
-    # (read at trace time inside fused_infer_apply / the fused kernels).
+    # Executor scheduling knobs; every config is a small delta against the
+    # SHIPPED defaults (read at trace time inside fused_infer_apply / the
+    # fused kernels), so "ship" always measures exactly what users get.
     _DEFAULTS = {
-        "RUBIKS_FUSED_FRAMES": "0",
+        "RUBIKS_FUSED_FRAMES": "1",
         "RUBIKS_FUSED_FRAMES_MAX_WS": "1",
-        "RUBIKS_FUSED_MXU_TAPS": "auto",
+        "RUBIKS_FUSED_MXU_TAPS": "0",
         "RUBIKS_FUSED_FRAMES_MAX_HS": "1",
         "RUBIKS_FUSED_SE_BATCH": "1",
         "RUBIKS_FUSED_GROUP": "8",
@@ -109,19 +106,15 @@ def main():
         return fn
 
     env = {
-        # Baselines (sb = batched SE, the shipped default):
-        "offsb": {},                                  # frames off + sb
-        "off": {"SE_BATCH": "0"},                     # frames off, no sb
-        # Per-frame kernel routing for the early stages:
-        "sebatch": {"FRAMES": "1"},                   # stage1 (ws==1) + sb
-        "ws1": {"FRAMES": "1", "SE_BATCH": "0"},      # stage1, no sb
-        "allsb": {"FRAMES": "1", "FRAMES_MAX_WS": "99"},  # wherever it fits
-        "hssb": {"FRAMES": "1", "FRAMES_MAX_HS": "99"},   # + stage0 plans
-        # Tap-schedule and grouping probes:
-        "mxu1": {"FRAMES": "1", "MXU_TAPS": "1"},
-        "mxu0": {"FRAMES": "1", "MXU_TAPS": "0"},
-        "g16": {"FRAMES": "1", "GROUP": "16"},
-        "g4": {"FRAMES": "1", "GROUP": "4"},
+        "ship": {},  # shipped defaults: frames ws1 + VPU taps + batched SE
+        "noframes": {"FRAMES": "0"},       # early stages unfused (old off)
+        "allws": {"FRAMES_MAX_WS": "99"},  # frames wherever a plan exists
+        "hs": {"FRAMES_MAX_HS": "99"},     # + stage0 H-chunked plans
+        "autotaps": {"MXU_TAPS": "auto"},  # old per-shape tap schedule
+        "mxutaps": {"MXU_TAPS": "1"},      # force the MXU tap fold
+        "nosb": {"SE_BATCH": "0"},         # per-frame SE gates
+        "g16": {"GROUP": "16"},
+        "g4": {"GROUP": "4"},
     }
     configs = {k: forward_with(v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
