@@ -20,6 +20,8 @@ auto-picked: every production config has checkpoint-autosized max_shift.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 # Minimum channel lane occupancy for the one-pass Pallas kernel to win its
@@ -40,7 +42,12 @@ def choose_forward_backend(shape, stride, padding, quantize, max_shift,
     if shift3d_pallas_supported(shape, stride, padding, max_shift, dtype) \
             and lane_occupancy(shape[-1]) >= OCCUPANCY_MIN:
         return "pallas"
-    return "conv"
+    # Non-Pallas fallback. The conv formulation's three per-axis depthwise
+    # convs invite XLA to pick a different layout per conv — at stage0
+    # (112x112, C=72) the resulting transpose copies of the whole activation
+    # were 27% of the Large forward's device time (xprof 2026-08-20). The
+    # select formulation (pad + static slices + lerp) stays in one layout.
+    return os.environ.get("RUBIKS_SHIFT3D_FALLBACK", "conv")
 
 
 def choose_input_grad_backend(og_shape, in_shape, stride, padding, quantize,

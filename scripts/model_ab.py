@@ -93,8 +93,11 @@ def main():
     }
 
     def set_env(overrides):
-        for var, val in {**_DEFAULTS, **{
-                "RUBIKS_FUSED_" + k: v for k, v in overrides.items()}}.items():
+        merged = dict(_DEFAULTS)
+        merged.setdefault("RUBIKS_SHIFT3D_FALLBACK", "conv")
+        for k, v in overrides.items():
+            merged[k if k.startswith("RUBIKS_") else "RUBIKS_FUSED_" + k] = v
+        for var, val in merged.items():
             os.environ[var] = val
 
     def forward_with(overrides):
@@ -115,6 +118,9 @@ def main():
         "nosb": {"SE_BATCH": "0"},         # per-frame SE gates
         "g16": {"GROUP": "16"},
         "g4": {"GROUP": "4"},
+        # Unfused-shift fallback formulation (stage0 + strided entry blocks):
+        "selfb": {"RUBIKS_SHIFT3D_FALLBACK": "select"},
+        "mixfb": {"RUBIKS_SHIFT3D_FALLBACK": "mix"},
     }
     configs = {k: forward_with(v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
