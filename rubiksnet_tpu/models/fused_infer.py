@@ -48,6 +48,7 @@ def resolved_fused_config() -> dict:
         "mxu_taps": os.environ.get("RUBIKS_FUSED_MXU_TAPS", "0"),
         "se_batch": os.environ.get("RUBIKS_FUSED_SE_BATCH", "1"),
         "group": os.environ.get("RUBIKS_FUSED_GROUP", "8"),
+        "shift_fallback": os.environ.get("RUBIKS_SHIFT3D_FALLBACK", "mix"),
     }
 
 

@@ -42,12 +42,13 @@ def choose_forward_backend(shape, stride, padding, quantize, max_shift,
     if shift3d_pallas_supported(shape, stride, padding, max_shift, dtype) \
             and lane_occupancy(shape[-1]) >= OCCUPANCY_MIN:
         return "pallas"
-    # Non-Pallas fallback. The conv formulation's three per-axis depthwise
-    # convs invite XLA to pick a different layout per conv — at stage0
-    # (112x112, C=72) the resulting transpose copies of the whole activation
-    # were 27% of the Large forward's device time (xprof 2026-08-20). The
-    # select formulation (pad + static slices + lerp) stays in one layout.
-    return os.environ.get("RUBIKS_SHIFT3D_FALLBACK", "conv")
+    # Non-Pallas fallback, default 'mix' (T taps as layout-neutral slab
+    # FMAs, H/W as per-frame depthwise convs): the all-conv formulation's
+    # 3-spatial-dim T conv makes XLA transpose the whole stage0 activation
+    # (xprof 2026-08-20: copies were 27% of the Large forward), and 'mix'
+    # measured a 1.055x 5-round e2e median over it (MODEL_AB_FALLBACK.json);
+    # the all-select fallback measured 0.61x (~8 extra HBM passes).
+    return os.environ.get("RUBIKS_SHIFT3D_FALLBACK", "mix")
 
 
 def choose_input_grad_backend(og_shape, in_shape, stride, padding, quantize,

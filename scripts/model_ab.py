@@ -94,7 +94,7 @@ def main():
 
     def set_env(overrides):
         merged = dict(_DEFAULTS)
-        merged.setdefault("RUBIKS_SHIFT3D_FALLBACK", "conv")
+        merged.setdefault("RUBIKS_SHIFT3D_FALLBACK", "mix")
         for k, v in overrides.items():
             merged[k if k.startswith("RUBIKS_") else "RUBIKS_FUSED_" + k] = v
         for var, val in merged.items():
@@ -120,7 +120,7 @@ def main():
         "g4": {"GROUP": "4"},
         # Unfused-shift fallback formulation (stage0 + strided entry blocks):
         "selfb": {"RUBIKS_SHIFT3D_FALLBACK": "select"},
-        "mixfb": {"RUBIKS_SHIFT3D_FALLBACK": "mix"},
+        "convfb": {"RUBIKS_SHIFT3D_FALLBACK": "conv"},
     }
     configs = {k: forward_with(v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]
