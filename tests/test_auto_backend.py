@@ -88,16 +88,17 @@ def test_auto_2d_matches_gather():
 def test_selection_rules():
     assert lane_occupancy(128) == 1.0
     assert lane_occupancy(144) == pytest.approx(144 / 256)
-    # High occupancy + stride 1 -> pallas; low occupancy -> conv.
+    # High occupancy + stride 1 -> pallas; low occupancy -> the mix
+    # fallback (T slab FMAs + H/W depthwise convs; MODEL_AB_FALLBACK.json).
     hi = (2, 4, 6, 7, 120)
     lo = (2, 4, 6, 7, 144)
     s1, p0 = (1, 1, 1), (0, 0, 0)
     assert lane_occupancy(120) >= OCCUPANCY_MIN
     assert choose_forward_backend(hi, s1, p0, False, 2, jnp.float32) == "pallas"
-    assert choose_forward_backend(lo, s1, p0, False, 2, jnp.float32) == "conv"
-    # Strided -> pallas unsupported -> conv even at full occupancy.
+    assert choose_forward_backend(lo, s1, p0, False, 2, jnp.float32) == "mix"
+    # Strided -> pallas unsupported -> the fallback even at full occupancy.
     assert choose_forward_backend(hi, (1, 2, 2), p0, False, 2,
-                                  jnp.float32) == "conv"
+                                  jnp.float32) == "mix"
     # Input grad: strided (og shape != in shape) -> select.
     assert choose_input_grad_backend(
         (2, 4, 3, 4, 120), hi, (1, 2, 2), p0, False, 2, jnp.float32

@@ -180,16 +180,18 @@ def test_auto_t_factor():
     np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_expl))
 
 
+@pytest.mark.parametrize("backend", ["mix", "mix2"])
 @pytest.mark.parametrize("case", CASES)
-def test_forward_mix_backend_matches_oracle(case):
-    """'mix' (T via select slices, H/W via depthwise conv — the layout-
-    neutral formulation for the unfused stages) must equal the oracle."""
+def test_forward_mix_backend_matches_oracle(case, backend):
+    """'mix'/'mix2' (T via select slices, H/W via depthwise conv(s) — the
+    layout-neutral formulations for the unfused stages) must equal the
+    oracle."""
     x, shift = _mk()
     ref = oracle.shift3d_forward(
         x, shift, case["stride"], case["padding"], case["quantize"])
     got = shift3d.rubiks_shift_3d_forward(
         jnp.asarray(_to_cl(x)), jnp.asarray(shift),
         case["stride"], case["padding"], case["quantize"],
-        backend="mix", max_shift=2,
+        backend=backend, max_shift=2,
     )
     np.testing.assert_allclose(_from_cl(got), ref, rtol=1e-12, atol=1e-12)
