@@ -122,6 +122,7 @@ def main():
         "selfb": {"RUBIKS_SHIFT3D_FALLBACK": "select"},
         "convfb": {"RUBIKS_SHIFT3D_FALLBACK": "conv"},
         "mix2fb": {"RUBIKS_SHIFT3D_FALLBACK": "mix2"},
+        "mix3fb": {"RUBIKS_SHIFT3D_FALLBACK": "mix3"},
     }
     configs = {k: forward_with(v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]

@@ -180,7 +180,7 @@ def test_auto_t_factor():
     np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_expl))
 
 
-@pytest.mark.parametrize("backend", ["mix", "mix2"])
+@pytest.mark.parametrize("backend", ["mix", "mix2", "mix3"])
 @pytest.mark.parametrize("case", CASES)
 def test_forward_mix_backend_matches_oracle(case, backend):
     """'mix'/'mix2' (T via select slices, H/W via depthwise conv(s) — the
