@@ -28,6 +28,11 @@ from ..ops.pallas.fused_block import (
     stack_block_params_aq,
     stack_se_params,
 )
+from ..ops.pallas.fused_entry import (
+    fused_entry_run,
+    fused_entry_supported,
+    stack_entry_params,
+)
 from ..ops.pallas.fused_frames import (
     fused_frames_run,
     fused_frames_supported,
@@ -129,11 +134,21 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     # H-chunked ws=1 plans (stage0's shape) are gated separately until the
     # on-chip A/B says they beat the unfused chain.
     frames_max_hs = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_HS", "1"))
-    # A dedicated fused kernel for the stride-2 stage-entry blocks was built
-    # and verified in round 3, but the drift-robust 5-round interleaved
-    # model A/B (MODEL_AB.json, median ratio 0.96 vs the default) showed it
-    # loses to XLA's handling of those four blocks, so it was removed
-    # (git history: ops/pallas/fused_entry.py).
+    # Strided entry blocks (layer1_0..layer4_0) through the dedicated fused
+    # kernel (ops/pallas/fused_entry.py). Removed in round 4 on a glitch-era
+    # 0.96 A/B median, restored in round 5: the fixed timing estimator
+    # re-measured it as a win (MODEL_AB_ENTRY.json).
+    use_entry = os.environ.get("RUBIKS_FUSED_ENTRY", "0") == "1"
+
+    def entry_fusable(cin, cout, stride, shape):
+        return (
+            use_entry
+            and stride == 2
+            and model.variant == "rubiks3d"
+            and fused_entry_supported(shape, cin, cout,
+                                      model.shift_max_shift, dtype,
+                                      se=bool(use_se))
+        )
 
     def fusable(name, cin, cout, stride, shape):
         if not (stride == 1 and cin == cout
@@ -193,6 +208,15 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
                     x, vt, wm, se, max_shift=model.shift_max_shift,
                 )
             i = j
+        elif entry_fusable(cin, cout, stride, x.shape):
+            x = x.astype(dtype)
+            entry = stack_entry_params(params[name], stats[name], dtype,
+                                       model.shift_max_shift,
+                                       quantize=model.quantize)
+            se = stack_se_params([params[name]])[0] if use_se else None
+            x = fused_entry_run(x, entry, se,
+                                max_shift=model.shift_max_shift)
+            i += 1
         else:
             x = _apply_unfused_block(
                 model, name, cin, cout, stride, use_se, params, stats, x

@@ -122,66 +122,3 @@ def frac_shift_axis_conv(
     assert out.shape[axis] == d_out, (out.shape, axis, d_out)
     return out
 
-
-def frac_shift_hw_conv(
-    x4: jax.Array,
-    shift_h: jax.Array,
-    shift_w: jax.Array,
-    stride_h: int,
-    stride_w: int,
-    pad_h: int,
-    pad_w: int,
-    quantize: bool = False,
-    max_shift: int = DEFAULT_MAX_SHIFT,
-) -> jax.Array:
-    """Both spatial shifts as ONE depthwise conv over (N, H, W, C) frames.
-
-    The separable H-then-W formulation is two conv passes over the
-    activation, and XLA assigns each conv its own layout (transpose copies
-    between them measured ~6% of the Large forward). The 2D per-channel
-    kernel is the outer product of the two tap vectors — identical math,
-    one pass, one layout choice. Kernel FLOPs grow from 2*(2K+2) to
-    (2K+2)^2 per output element, noise against the bandwidth saved.
-    """
-    c = x4.shape[-1]
-    h_in, w_in = x4.shape[1], x4.shape[2]
-    h_out = output_len(h_in, stride_h, pad_h)
-    w_out = output_len(w_in, stride_w, pad_w)
-    taps = 2 * max_shift + 2
-
-    wh = _shift_kernel(shift_h.astype(x4.dtype), x4.dtype, max_shift, quantize)
-    ww = _shift_kernel(shift_w.astype(x4.dtype), x4.dtype, max_shift, quantize)
-    kernel = (wh[:, None, :] * ww[None, :, :]).reshape(taps, taps, 1, c)
-
-    pads = []
-    x = x4
-    for axis, (d_in, d_out, stride, padding) in enumerate(
-        ((h_in, h_out, stride_h, pad_h), (w_in, w_out, stride_w, pad_w)),
-        start=1,
-    ):
-        pad_lo = max_shift + padding
-        pad_hi = (d_out - 1) * stride + taps - d_in - pad_lo
-        if pad_hi < 0:  # conv can't "unpad"; trim the input tail
-            sl = [slice(None)] * 4
-            sl[axis] = slice(0, d_in + pad_hi)
-            x = x[tuple(sl)]
-            pad_hi = 0
-        pads.append((pad_lo, pad_hi))
-
-    out = lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride_h, stride_w),
-        padding=tuple(pads),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        preferred_element_type=x.dtype,
-        precision=(
-            lax.Precision.HIGHEST
-            if jnp.dtype(x.dtype).itemsize >= 4
-            else lax.Precision.DEFAULT
-        ),
-    )
-    assert out.shape[1] == h_out and out.shape[2] == w_out, (
-        out.shape, h_out, w_out)
-    return out

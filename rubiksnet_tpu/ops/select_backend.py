@@ -190,68 +190,3 @@ def frac_shift_axis_select(
         out = term if out is None else out + term
     return out
 
-
-def frac_shift_hw_select(
-    x: jax.Array,
-    shift_h: jax.Array,
-    shift_w: jax.Array,
-    stride_h: int,
-    stride_w: int,
-    pad_h: int,
-    pad_w: int,
-    quantize: bool = False,
-    max_shift: int = 4,
-) -> jax.Array:
-    """Both spatial shifts of a (..., H, W, C) tensor as ONE fused slice
-    expression: out = sum_{jh,jw} (wH_jh * wW_jw) * xp[.., h+jh, w+jw, .].
-
-    The depthwise-conv formulation of the H/W shifts makes XLA relayout the
-    whole activation around each conv (W-minor for the H conv, N-minor for
-    the W conv — 4 transpose copies per unfused block, ~11% of the Large
-    forward). The tap-product sum has no layout preference: XLA loop-fuses
-    the (2K+2)^2 slice FMAs into one pass over the activation in whatever
-    layout its neighbors already use. Tap weights come from the same
-    kernel-builder as the conv backend, so the math is identical.
-    """
-    from .conv_backend import _shift_kernel
-
-    ndim = x.ndim
-    ah, aw = ndim - 3, ndim - 2
-    h_in, w_in = x.shape[ah], x.shape[aw]
-    h_out = output_len(h_in, stride_h, pad_h)
-    w_out = output_len(w_in, stride_w, pad_w)
-    taps = 2 * max_shift + 2
-
-    wh = _shift_kernel(shift_h.astype(x.dtype), x.dtype, max_shift, quantize)
-    ww = _shift_kernel(shift_w.astype(x.dtype), x.dtype, max_shift, quantize)
-
-    pad_cfg = [(0, 0, 0)] * ndim
-    for axis, (d_in, d_out, stride, padding) in (
-        (ah, (h_in, h_out, stride_h, pad_h)),
-        (aw, (w_in, w_out, stride_w, pad_w)),
-    ):
-        lo = max_shift + padding
-        hi = max(
-            (d_out - 1) * stride + (max_shift + 1) - padding - (d_in - 1), 0)
-        pad_cfg[axis] = (lo, hi, 0)
-    xp = lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
-
-    cshape = (1,) * (ndim - 1) + (-1,)
-    starts = [0] * ndim
-    limits = list(xp.shape)
-    strides = [1] * ndim
-    strides[ah], strides[aw] = stride_h, stride_w
-
-    out = None
-    for jh in range(taps):
-        for jw in range(taps):
-            s = list(starts)
-            l = list(limits)
-            s[ah], s[aw] = jh, jw
-            l[ah] = jh + (h_out - 1) * stride_h + 1
-            l[aw] = jw + (w_out - 1) * stride_w + 1
-            sl = lax.slice(xp, s, l, strides)
-            w2 = (wh[jh] * ww[jw]).reshape(cshape)
-            term = sl * w2
-            out = term if out is None else out + term
-    return out

@@ -30,12 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from . import shift_core as core
-from .conv_backend import (
-    DEFAULT_MAX_SHIFT, frac_shift_axis_conv, frac_shift_hw_conv,
-)
+from .conv_backend import DEFAULT_MAX_SHIFT, frac_shift_axis_conv
 from .select_backend import (
     frac_shift_axis_select,
-    frac_shift_hw_select,
     inverse_shift_axis_select,
     tapped_outputs_select,
 )
@@ -120,7 +117,7 @@ def rubiks_shift_3d_forward(
         out = frac_shift_axis_conv(x, shift[0], _T_AX, st, pt, quantize, max_shift)
         out = frac_shift_axis_conv(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
         out = frac_shift_axis_conv(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
-    elif backend in ("mix", "mix2", "mix3"):
+    elif backend == "mix":
         # T via select slices, H/W via per-frame depthwise convs. The
         # all-conv formulation expresses T as a 3-spatial-dim conv over the
         # 5D tensor, and XLA's layout assignment for that conv transposes
@@ -128,28 +125,19 @@ def rubiks_shift_3d_forward(
         # forward at stage0's 112x112 — xprof 2026-08-20). The T shift is
         # three whole-slab FMAs — layout-neutral as static slices — and the
         # flattened (N*T, H, W, C) H/W convs stay in the frame-conv layout.
-        # "mix2" further fuses H and W into ONE depthwise conv whose kernel
-        # is the outer product of the tap vectors (one pass, one layout);
-        # "mix3" writes the same outer-product sum as fused slice FMAs with
-        # no conv at all — and therefore no layout preference (the H/W
-        # depthwise convs make XLA transpose the activation around them).
+        # (Measured and removed alternatives, 5-round e2e medians vs this:
+        # a single outer-product HW depthwise conv 0.986x; the same outer
+        # product as fused slice FMAs 0.22x — XLA materializes every strided
+        # slice. Git history: 'mix2'/'mix3'.)
         out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt, quantize,
                                      max_shift)
-        if backend == "mix3":
-            out = frac_shift_hw_select(out, shift[1], shift[2], sh, sw,
-                                       ph, pw, quantize, max_shift)
-        else:
-            n, t2, h2, w2, c2 = out.shape
-            out = out.reshape(n * t2, h2, w2, c2)
-            if backend == "mix2":
-                out = frac_shift_hw_conv(out, shift[1], shift[2], sh, sw,
-                                         ph, pw, quantize, max_shift)
-            else:
-                out = frac_shift_axis_conv(out, shift[1], 1, sh, ph,
-                                           quantize, max_shift)
-                out = frac_shift_axis_conv(out, shift[2], 2, sw, pw,
-                                           quantize, max_shift)
-            out = out.reshape(n, t2, out.shape[1], out.shape[2], c2)
+        n, t2, h2, w2, c2 = out.shape
+        out = out.reshape(n * t2, h2, w2, c2)
+        out = frac_shift_axis_conv(out, shift[1], 1, sh, ph, quantize,
+                                   max_shift)
+        out = frac_shift_axis_conv(out, shift[2], 2, sw, pw, quantize,
+                                   max_shift)
+        out = out.reshape(n, t2, out.shape[1], out.shape[2], c2)
     elif backend == "pallas":
         from .pallas.shift_kernel import (
             rubiks_shift3d_pallas, shift3d_pallas_supported,

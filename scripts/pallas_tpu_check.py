@@ -64,6 +64,9 @@ def main():
     from rubiksnet_tpu.ops.pallas.fused_block import (
         fused_block_run, stack_block_params, stack_se_params,
     )
+    from rubiksnet_tpu.ops.pallas.fused_entry import (
+        fused_entry_run, stack_entry_params,
+    )
     from rubiksnet_tpu.ops.shift3d import rubiks_shift_3d_forward
 
     backend = jax.default_backend()
@@ -179,6 +182,55 @@ def main():
         err = _nerr(batched, perframe)
         return {"err_vs_perframe": err, "tol": tol}, err < tol
 
+    # --- 1c. fused strided entry-block kernel vs the unfused block ---
+    def check_fused_entry(dtype, tol):
+        cin, mid, red = 72, 144, 12
+        ks = jax.random.split(jax.random.PRNGKey(21), 12)
+        p = {
+            "bn1": {"scale": u(ks[0], (cin,), 0.5, 1.5),
+                    "bias": u(ks[1], (cin,), -0.3, 0.3)},
+            "bn2": {"scale": u(ks[2], (mid,), 0.5, 1.5),
+                    "bias": u(ks[3], (mid,), -0.3, 0.3)},
+            "conv2": {"kernel": jax.random.normal(
+                ks[4], (1, 1, cin, mid)) / np.sqrt(cin)},
+            "conv3": {"kernel": jax.random.normal(
+                ks[5], (1, 1, mid, mid)) / np.sqrt(mid)},
+            "shortcut": {"kernel": jax.random.normal(
+                ks[6], (1, 1, cin, mid)) / np.sqrt(cin)},
+            "as3": {"rubiks3d": {"shift": u(ks[7], (3, mid), -0.9, 0.9)}},
+            "se": {"fc1": {"kernel": jax.random.normal(
+                       ks[8], (mid, mid // red)) / np.sqrt(mid)},
+                   "fc2": {"kernel": jax.random.normal(
+                       ks[9], (mid // red, mid)) / np.sqrt(mid // red)}},
+        }
+        st = {
+            "bn1": {"mean": u(ks[10], (cin,), -0.2, 0.2),
+                    "var": u(ks[10], (cin,), 0.5, 2.0)},
+            "bn2": {"mean": u(ks[11], (mid,), -0.2, 0.2),
+                    "var": u(ks[11], (mid,), 0.5, 2.0)},
+        }
+        x = jax.random.normal(jax.random.PRNGKey(22), (2, 4, 56, 56, cin),
+                              dtype)
+        entry = stack_entry_params(p, st, dtype, 1)
+        se_w = stack_se_params([p])[0]
+        got = jax.jit(lambda x_: fused_entry_run(
+            x_, entry, se_w, max_shift=1))(x)
+        interp = fused_entry_run(x, entry, se_w, max_shift=1,
+                                 interpret=True)
+        block = RubiksShiftBlock(
+            in_planes=cin, out_planes=mid, stride=2, shift_backend="conv",
+            shift_max_shift=1, dtype=dtype, use_se=red)
+        want = jax.jit(lambda x_: block.apply(
+            {"params": p, "batch_stats": st}, x_, False))(x)
+        # vs interpret: same math, must agree to rounding. vs unfused: the
+        # fold_bn-vs-flax-BN rounding difference crosses relu boundaries,
+        # so judge against the 2e-2 std band (same as fused_block).
+        err_interp = _nerr(got, interp)
+        err_unfused = _nerr(got, want)
+        return ({"err_vs_interpret": err_interp,
+                 "err_vs_unfused": err_unfused, "tol": tol},
+                err_interp < tol and err_unfused < max(tol, 2e-2))
+
     # --- 2. fused one-pass shift kernel vs select backend ---
     # bf16 tol: the kernel computes taps in f32 and rounds once; the select
     # reference rounds per-axis in bf16, so a few percent of std is expected.
@@ -256,7 +308,7 @@ def main():
                 err < tol and picked == "pallas")
 
     # --- 3/4. fused end-to-end Large inference vs regular apply (bf16) ---
-    def check_fused_infer(variant):
+    def check_fused_infer(variant, use_entry=False):
         bundle = create_rubiksnet(
             "large", num_classes=174, num_frames=8, input_size=64,
             dtype=jnp.bfloat16, variant=variant, shift_backend="conv",
@@ -266,9 +318,17 @@ def main():
         want = jax.jit(
             lambda v: bundle.model.apply(bundle.variables, v, train=False)
         )(video)
-        got = jax.jit(
-            lambda v: fused_infer_apply(bundle.model, bundle.variables,
-                                        v))(video)
+        prev = os.environ.get("RUBIKS_FUSED_ENTRY")
+        os.environ["RUBIKS_FUSED_ENTRY"] = "1" if use_entry else "0"
+        try:
+            got = jax.jit(
+                lambda v: fused_infer_apply(bundle.model, bundle.variables,
+                                            v))(video)
+        finally:
+            if prev is None:
+                os.environ.pop("RUBIKS_FUSED_ENTRY", None)
+            else:
+                os.environ["RUBIKS_FUSED_ENTRY"] = prev
         err = _nerr(got, want)
         # std-normalized logit error; bf16 accumulation diffs
         return {"norm_logit_err": err, "tol": 0.1}, err < 0.1
@@ -282,6 +342,10 @@ def main():
          lambda: check_se_batch(jnp.float32, 1e-4)),
         ("fused_block_se_batch_bfloat16",
          lambda: check_se_batch(jnp.bfloat16, 5e-2)),
+        ("fused_entry_float32",
+         lambda: check_fused_entry(jnp.float32, 1e-4)),
+        ("fused_entry_bfloat16",
+         lambda: check_fused_entry(jnp.bfloat16, 5e-2)),
         ("fused_shift3d_float32",
          lambda: check_fused_shift3d(jnp.float32, 1e-5, (1, 1, 1))),
         ("fused_shift3d_bfloat16",
@@ -300,6 +364,8 @@ def main():
          lambda: check_shift_grad(jnp.bfloat16, 5e-2, 576, 7, 1)),
         ("fused_infer_large_bf16",
          lambda: check_fused_infer("rubiks3d")),
+        ("fused_infer_large_entry_bf16",
+         lambda: check_fused_infer("rubiks3d", use_entry=True)),
         ("fused_infer_large_aq_bf16",
          lambda: check_fused_infer("rubiks3d-aq")),
     ]

@@ -174,3 +174,21 @@ def test_fused_eval_step_on_mesh():
         np.asarray(out["logits"]), np.asarray(ref["logits"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_fused_infer_entry_blocks(monkeypatch):
+    """RUBIKS_FUSED_ENTRY=1 routes the stride-2 stage-entry blocks through
+    the fused entry kernel; logits must match the regular apply."""
+    monkeypatch.setenv("RUBIKS_FUSED_ENTRY", "1")
+    bundle = create_rubiksnet(
+        "small", num_classes=5, num_frames=2, input_size=32,
+        shift_backend="conv", shift_max_shift=1,
+    )
+    video = jax.random.normal(
+        jax.random.PRNGKey(4), (2, 2, 32, 32, 3), jnp.float32
+    )
+    want = bundle.model.apply(bundle.variables, video, train=False)
+    got = fused_infer_apply(bundle.model, bundle.variables, video)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )

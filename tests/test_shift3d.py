@@ -180,12 +180,11 @@ def test_auto_t_factor():
     np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_expl))
 
 
-@pytest.mark.parametrize("backend", ["mix", "mix2", "mix3"])
+@pytest.mark.parametrize("backend", ["mix"])
 @pytest.mark.parametrize("case", CASES)
 def test_forward_mix_backend_matches_oracle(case, backend):
-    """'mix'/'mix2' (T via select slices, H/W via depthwise conv(s) — the
-    layout-neutral formulations for the unfused stages) must equal the
-    oracle."""
+    """'mix' (T via select slices, H/W via depthwise convs — the layout-
+    neutral formulation the auto fallback ships) must equal the oracle."""
     x, shift = _mk()
     ref = oracle.shift3d_forward(
         x, shift, case["stride"], case["padding"], case["quantize"])
