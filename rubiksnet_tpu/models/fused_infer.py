@@ -53,6 +53,7 @@ def resolved_fused_config() -> dict:
         "mxu_taps": os.environ.get("RUBIKS_FUSED_MXU_TAPS", "0"),
         "se_batch": os.environ.get("RUBIKS_FUSED_SE_BATCH", "1"),
         "group": os.environ.get("RUBIKS_FUSED_GROUP", "8"),
+        "entry": os.environ.get("RUBIKS_FUSED_ENTRY", "1"),
         "shift_fallback": os.environ.get("RUBIKS_SHIFT3D_FALLBACK", "mix"),
     }
 
@@ -135,10 +136,10 @@ def fused_infer_apply(model: RubiksNet, variables, video) -> jnp.ndarray:
     # on-chip A/B says they beat the unfused chain.
     frames_max_hs = int(os.environ.get("RUBIKS_FUSED_FRAMES_MAX_HS", "1"))
     # Strided entry blocks (layer1_0..layer4_0) through the dedicated fused
-    # kernel (ops/pallas/fused_entry.py). Removed in round 4 on a glitch-era
-    # 0.96 A/B median, restored in round 5: the fixed timing estimator
-    # re-measured it as a win (MODEL_AB_ENTRY.json).
-    use_entry = os.environ.get("RUBIKS_FUSED_ENTRY", "0") == "1"
+    # kernel (ops/pallas/fused_entry.py), default ON. Removed in round 4 on
+    # a glitch-era 0.96 A/B median; the fixed timing estimator re-measured
+    # it as a 1.028x 5-round e2e median win (MODEL_AB_ENTRY.json, round 5).
+    use_entry = os.environ.get("RUBIKS_FUSED_ENTRY", "1") == "1"
 
     def entry_fusable(cin, cout, stride, shape):
         return (

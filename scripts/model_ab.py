@@ -90,7 +90,7 @@ def main():
         "RUBIKS_FUSED_FRAMES_MAX_HS": "1",
         "RUBIKS_FUSED_SE_BATCH": "1",
         "RUBIKS_FUSED_GROUP": "8",
-        "RUBIKS_FUSED_ENTRY": "0",
+        "RUBIKS_FUSED_ENTRY": "1",
     }
 
     def set_env(overrides):
@@ -119,8 +119,8 @@ def main():
         "nosb": {"SE_BATCH": "0"},         # per-frame SE gates
         "g16": {"GROUP": "16"},
         "g4": {"GROUP": "4"},
-        # Fused stride-2 entry blocks (restored round 5):
-        "entry": {"ENTRY": "1"},
+        # Fused stride-2 entry blocks off (the pre-round-5 behavior):
+        "noentry": {"ENTRY": "0"},
         # Unfused-shift fallback formulation (stage0 + strided entry blocks):
         "selfb": {"RUBIKS_SHIFT3D_FALLBACK": "select"},
         "convfb": {"RUBIKS_SHIFT3D_FALLBACK": "conv"},
