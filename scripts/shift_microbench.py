@@ -198,8 +198,9 @@ def main():
         # auto row disagreed with the cell winner precisely because the
         # hybrid was never timed).
         for mode, maker, arg, backends in (
-            ("fwd", make_fwd, x, ("pallas", "conv", "select")),
-            ("bwd", make_bwd, x, ("pallas", "conv", "select", "auto")),
+            ("fwd", make_fwd, x, ("pallas", "conv", "select", "mix")),
+            ("bwd", make_bwd, x, ("pallas", "conv", "select", "mix",
+                                  "auto")),
             ("shift_grad", make_sgrad, og, ("pallas", "gather", "select")),
         ):
             if mode not in modes_wanted:
