@@ -88,20 +88,26 @@ def test_auto_2d_matches_gather():
 def test_selection_rules():
     assert lane_occupancy(128) == 1.0
     assert lane_occupancy(144) == pytest.approx(144 / 256)
-    # High occupancy + stride 1 -> pallas; low occupancy -> the mix
-    # fallback (T slab FMAs + H/W depthwise convs; MODEL_AB_FALLBACK.json).
+    # Round-5 measured rules (SHIFT_MICROBENCH.json, clean estimator):
+    # forward -> mix everywhere, input grad -> select everywhere,
+    # shift grad -> pallas at >= OCCUPANCY_MIN.
     hi = (2, 4, 6, 7, 120)
     lo = (2, 4, 6, 7, 144)
     s1, p0 = (1, 1, 1), (0, 0, 0)
     assert lane_occupancy(120) >= OCCUPANCY_MIN
-    assert choose_forward_backend(hi, s1, p0, False, 2, jnp.float32) == "pallas"
+    assert choose_forward_backend(hi, s1, p0, False, 2, jnp.float32) == "mix"
     assert choose_forward_backend(lo, s1, p0, False, 2, jnp.float32) == "mix"
-    # Strided -> pallas unsupported -> the fallback even at full occupancy.
     assert choose_forward_backend(hi, (1, 2, 2), p0, False, 2,
                                   jnp.float32) == "mix"
-    # Input grad: strided (og shape != in shape) -> select.
     assert choose_input_grad_backend(
         (2, 4, 3, 4, 120), hi, (1, 2, 2), p0, False, 2, jnp.float32
     ) == "select"
     assert choose_input_grad_backend(
-        hi, hi, s1, p0, False, 2, jnp.float32) == "pallas"
+        hi, hi, s1, p0, False, 2, jnp.float32) == "select"
+    from rubiksnet_tpu.ops.auto_backend import choose_shift_grad_backend
+
+    big = (2, 8, 14, 14, 288)
+    assert choose_shift_grad_backend(
+        big, big, s1, p0, 1, jnp.float32) == "pallas"
+    assert choose_shift_grad_backend(
+        lo, lo, s1, p0, 2, jnp.float32) == "select"
