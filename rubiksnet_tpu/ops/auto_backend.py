@@ -30,6 +30,10 @@ import jax.numpy as jnp
 # reduction to win its lane-wasting slices (C=288/576 occupancies >= 0.75
 # win; C=72/144 lose — SHIFT_MICROBENCH.json shift_grad cells).
 OCCUPANCY_MIN = 0.7
+# ... and minimum spatial extent: the kernel's per-grid-step fixed cost
+# dominates tiny frames (stage4 7x7x576: select 0.034 ms vs pallas 2.117;
+# stage3 14x14x288: pallas 4.15 vs select 4.75 — SHIFT_MICROBENCH.json).
+SHIFT_GRAD_MIN_HW = 128
 
 
 def lane_occupancy(c: int) -> float:
@@ -82,6 +86,7 @@ def choose_shift_grad_backend(x_shape, og_shape, stride, padding, max_shift,
 
     if shift_grad_pallas_supported(x_shape, og_shape, stride, padding, dtype,
                                    max_shift) \
-            and lane_occupancy(x_shape[-1]) >= OCCUPANCY_MIN:
+            and lane_occupancy(x_shape[-1]) >= OCCUPANCY_MIN \
+            and x_shape[-3] * x_shape[-2] >= SHIFT_GRAD_MIN_HW:
         return "pallas"
     return "select"
