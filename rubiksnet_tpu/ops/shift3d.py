@@ -117,24 +117,6 @@ def rubiks_shift_3d_forward(
         out = frac_shift_axis_conv(x, shift[0], _T_AX, st, pt, quantize, max_shift)
         out = frac_shift_axis_conv(out, shift[1], _H_AX, sh, ph, quantize, max_shift)
         out = frac_shift_axis_conv(out, shift[2], _W_AX, sw, pw, quantize, max_shift)
-    elif backend == "mixk":
-        # 'mix' with the H/W taps in the one-pass per-frame Pallas kernel
-        # (ops/pallas/shift_hw_kernel.py) instead of depthwise convs: the
-        # kernel has no layout preference, so the transpose copies XLA
-        # inserts around the convs disappear. Falls back to 'mix' when the
-        # kernel's support predicate rejects the config (strided, VMEM).
-        from .pallas.shift_hw_kernel import (
-            shift_hw_pallas, shift_hw_pallas_supported,
-        )
-
-        if shift_hw_pallas_supported(x.shape, (st, sh, sw), (pt, ph, pw),
-                                     max_shift, x.dtype):
-            out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt,
-                                         quantize, max_shift)
-            return shift_hw_pallas(out, shift[1], shift[2], max_shift,
-                                   quantize)
-        return rubiks_shift_3d_forward(x, shift, stride, padding, quantize,
-                                       "mix", max_shift)
     elif backend == "mix":
         # T via select slices, H/W via per-frame depthwise convs. The
         # all-conv formulation expresses T as a 3-spatial-dim conv over the
@@ -146,7 +128,9 @@ def rubiks_shift_3d_forward(
         # (Measured and removed alternatives, 5-round e2e medians vs this:
         # a single outer-product HW depthwise conv 0.986x; the same outer
         # product as fused slice FMAs 0.22x — XLA materializes every strided
-        # slice. Git history: 'mix2'/'mix3'.)
+        # slice; the H/W taps as a one-pass per-frame Pallas kernel 0.936x —
+        # C=72 lane waste + per-frame grid cost exceed the transpose copies
+        # saved (MODEL_AB_MIXK.json). Git history: 'mix2'/'mix3'/'mixk'.)
         out = frac_shift_axis_select(x, shift[0], _T_AX, st, pt, quantize,
                                      max_shift)
         n, t2, h2, w2, c2 = out.shape

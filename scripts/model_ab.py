@@ -124,7 +124,6 @@ def main():
         # Unfused-shift fallback formulation (stage0 + strided entry blocks):
         "selfb": {"RUBIKS_SHIFT3D_FALLBACK": "select"},
         "convfb": {"RUBIKS_SHIFT3D_FALLBACK": "conv"},
-        "mixkfb": {"RUBIKS_SHIFT3D_FALLBACK": "mixk"},
     }
     configs = {k: forward_with(v) for k, v in env.items()}
     which = [c for c in args.configs.split(",")]

@@ -180,13 +180,11 @@ def test_auto_t_factor():
     np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_expl))
 
 
-@pytest.mark.parametrize("backend", ["mix", "mixk"])
+@pytest.mark.parametrize("backend", ["mix"])
 @pytest.mark.parametrize("case", CASES)
 def test_forward_mix_backend_matches_oracle(case, backend):
     """'mix' (T via select slices, H/W via depthwise convs — the layout-
-    neutral formulation the auto fallback ships) and 'mixk' (H/W taps in
-    the per-frame Pallas kernel, interpret mode on CPU; strided cases fall
-    back to 'mix') must equal the oracle."""
+    neutral formulation the auto fallback ships) must equal the oracle."""
     x, shift = _mk()
     ref = oracle.shift3d_forward(
         x, shift, case["stride"], case["padding"], case["quantize"])
@@ -197,25 +195,3 @@ def test_forward_mix_backend_matches_oracle(case, backend):
     )
     np.testing.assert_allclose(_from_cl(got), ref, rtol=1e-12, atol=1e-12)
 
-
-@pytest.mark.parametrize("quantize", [False, True])
-def test_shift_hw_kernel_matches_select(quantize):
-    """The per-frame H/W Pallas kernel (interpret mode on CPU) must match
-    the select backend bit-for-bit in f32 at stride 1 — and its support
-    predicate must accept the f32 stride-1 shape so the path really runs."""
-    from rubiksnet_tpu.ops.pallas.shift_hw_kernel import (
-        shift_hw_pallas, shift_hw_pallas_supported,
-    )
-
-    x = jnp.asarray(RNG.randn(2, 3, 9, 10, 8), jnp.float32)
-    shift = jnp.asarray(RNG.uniform(-1.8, 1.8, (3, 8)), jnp.float32)
-    assert shift_hw_pallas_supported(x.shape, (1, 1, 1), (0, 0, 0), 2,
-                                     x.dtype)
-    got = shift_hw_pallas(x, shift[1], shift[2], max_shift=2,
-                          quantize=quantize)
-    want = shift3d.frac_shift_axis_select(
-        x, shift[1], 2, 1, 0, quantize, 2)
-    want = shift3d.frac_shift_axis_select(
-        want, shift[2], 3, 1, 0, quantize, 2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
