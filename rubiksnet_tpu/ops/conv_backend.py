@@ -65,13 +65,30 @@ def frac_shift_axis_conv(
     """Depthwise-conv equivalent of shift_core.frac_shift_axis (half_up
     quantize only). x: channel-last, any rank >= 3; `axis` in [1, ndim-2].
     """
+    w = _shift_kernel(shift_c.astype(x.dtype), x.dtype, max_shift, quantize)
+    return depthwise_axis_conv(x, w, axis, stride, padding, max_shift)
+
+
+def depthwise_axis_conv(
+    x: jax.Array,
+    w: jax.Array,
+    axis: int,
+    stride: int,
+    padding: int,
+    k_pad: int,
+) -> jax.Array:
+    """Per-channel 1D tap sum along `axis` as a depthwise conv.
+
+    w: (taps, C) weights; tap j reads input offset j - k_pad, i.e.
+    out[o, c] = sum_j w[j, c] * x[o*stride - padding + j - k_pad, c] with
+    zero out-of-bounds fill. This is the one lowering of tap sums that XLA
+    tiles well under output striding — strided lax.slice taps measured
+    ~31 GiB/s on the train backward (docs/PERF_NOTES.md round 5)."""
     ndim = x.ndim
     c = x.shape[-1]
     d_in = x.shape[axis]
     d_out = output_len(d_in, stride, padding)
-    taps = 2 * max_shift + 2
-
-    w = _shift_kernel(shift_c.astype(x.dtype), x.dtype, max_shift, quantize)
+    taps = w.shape[0]
 
     # Build an N-D depthwise conv over the spatial dims (axes 1..ndim-2) with
     # kernel size `taps` along `axis` and 1 elsewhere.
@@ -80,8 +97,8 @@ def frac_shift_axis_conv(
     k_shape[axis - 1] = taps
     kernel = w.reshape(k_shape)
 
-    # out[o] = sum_j w[j] x[o*stride + j - pad_lo] with pad_lo = max_shift + padding.
-    pad_lo = max_shift + padding
+    # out[o] = sum_j w[j] x[o*stride + j - pad_lo] with pad_lo = k_pad + padding.
+    pad_lo = k_pad + padding
     # choose pad_hi so the conv output length equals the reference formula
     pad_hi = (d_out - 1) * stride + taps - d_in - pad_lo
     pads = [(0, 0)] * n_spatial

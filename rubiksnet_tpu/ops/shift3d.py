@@ -25,6 +25,7 @@ per-channel sign-SGD), so this op uses jax.custom_vjp rather than autodiff.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -228,6 +229,38 @@ def _corrected_taps_select(x, shift_c, axis, stride, padding, d_out, max_shift):
     return g_small, g_large, r, is_int
 
 
+def _corrected_taps_conv(x, shift_c, axis, stride, padding, d_out, max_shift):
+    """corrected_taps with the per-channel tap extraction as depthwise
+    one-hot convs instead of shared strided slices.
+
+    Identical math to _corrected_taps_select. Exists because XLA lowers the
+    select version's stride-s taps as strided W-minor slices running at
+    ~31 GiB/s on the stride-2 entry blocks' backward (18% of the Large
+    train step — docs/PERF_NOTES.md round 5), while the equivalent strided
+    depthwise convs tile properly."""
+    from .conv_backend import depthwise_axis_conv
+
+    sf = jnp.floor(shift_c)
+    small = sf.astype(jnp.int32)
+    r = (shift_c - sf).astype(x.dtype)
+    is_int = r == 0
+    small_corr = small - is_int.astype(jnp.int32)
+    k1 = max_shift + 1
+    j = jnp.arange(2 * k1 + 2, dtype=jnp.int32)[:, None] - k1
+    w_small = (j == small_corr[None, :]).astype(x.dtype)
+    w_large = (j == (small + 1)[None, :]).astype(x.dtype)
+    g_small = depthwise_axis_conv(x, w_small, axis, stride, padding, k1)
+    g_large = depthwise_axis_conv(x, w_large, axis, stride, padding, k1)
+    # The conv produces the canonical output_len; callers may pass a smaller
+    # d_out (an upstream gradient of non-canonical shape) — trim to match
+    # the select taps' honor-any-d_out contract.
+    assert g_small.shape[axis] >= d_out, (g_small.shape, axis, d_out)
+    if g_small.shape[axis] > d_out:
+        g_small = jax.lax.slice_in_dim(g_small, 0, d_out, axis=axis)
+        g_large = jax.lax.slice_in_dim(g_large, 0, d_out, axis=axis)
+    return g_small, g_large, r, is_int
+
+
 def rubiks_shift_3d_shift_grad(
     og, x, shift, stride=(1, 1, 1), padding=(0, 0, 0),
     backend="gather", max_shift=DEFAULT_MAX_SHIFT,
@@ -277,7 +310,17 @@ def rubiks_shift_3d_shift_grad(
             y, sc, ax, sstride, spad, dout
         )
     else:
-        taps = lambda y, sc, ax, sstride, spad, dout: _corrected_taps_select(
+        # Strided configs default to the depthwise-conv tap extraction:
+        # stride-s select taps lower to ~31 GiB/s strided slices (the
+        # measured entry-block train-backward pathology); stride-1 slices
+        # are contiguous and stay on the cheaper select path.
+        # RUBIKS_SHIFT_GRAD_TAPS=select/conv overrides for A/B.
+        impl = os.environ.get(
+            "RUBIKS_SHIFT_GRAD_TAPS",
+            "conv" if max(st, sh, sw) > 1 else "select")
+        taps_fn = (_corrected_taps_conv if impl == "conv"
+                   else _corrected_taps_select)
+        taps = lambda y, sc, ax, sstride, spad, dout: taps_fn(
             y, sc, ax, sstride, spad, dout, max_shift
         )
 

@@ -195,3 +195,25 @@ def test_forward_mix_backend_matches_oracle(case, backend):
     )
     np.testing.assert_allclose(_from_cl(got), ref, rtol=1e-12, atol=1e-12)
 
+
+
+@pytest.mark.parametrize("case", CASES[:3])
+def test_shift_grad_conv_taps_matches_oracle(case, monkeypatch):
+    """The depthwise-conv corrected-tap extraction (the default for strided
+    configs — the select taps' strided slices are the measured train-
+    backward pathology) must match the oracle exactly."""
+    monkeypatch.setenv("RUBIKS_SHIFT_GRAD_TAPS", "conv")
+    x, shift = _mk()
+    shift[:, 0] = [1.0, -1.0, 0.0]  # exercise corrected corners
+    out_shape = shift3d.compute_output_shape_3d(
+        _to_cl(x).shape, case["stride"], case["padding"]
+    )
+    og_cl = RNG.randn(*out_shape)
+    ref = oracle.shift3d_shift_grad(
+        _from_cl(og_cl), x, shift, case["stride"], case["padding"]
+    )
+    got = shift3d.rubiks_shift_3d_shift_grad(
+        jnp.asarray(og_cl), jnp.asarray(_to_cl(x)), jnp.asarray(shift),
+        case["stride"], case["padding"], backend="select",
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-9, atol=1e-9)
