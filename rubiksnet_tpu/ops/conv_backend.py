@@ -139,3 +139,70 @@ def depthwise_axis_conv(
     assert out.shape[axis] == d_out, (out.shape, axis, d_out)
     return out
 
+
+
+def inverse_shift_axis_conv(
+    og: jax.Array,
+    shift_c: jax.Array,
+    axis: int,
+    stride: int,
+    padding: int,
+    d_in: int,
+    quantize: bool = False,
+    max_shift: int = DEFAULT_MAX_SHIFT,
+) -> jax.Array:
+    """Inverse (transposed) per-channel shift of the upstream gradient as a
+    depthwise conv with input dilation.
+
+    Same math as select_backend.inverse_shift_axis_select: negate the
+    shifts, interleave stride-1 zeros (here via lhs_dilation instead of an
+    interior lax.pad), tap-sum. Exists because the select version's dilated
+    pad + slices run at ~36 GiB/s on the stride-2 entry blocks' train
+    backward (docs/PERF_NOTES.md round 5) while XLA tiles the dilated conv
+    properly. Requires padding <= max_shift (callers fall back to select
+    otherwise)."""
+    ndim = og.ndim
+    c = og.shape[-1]
+    d_out = og.shape[axis]
+    taps = 2 * max_shift + 2
+    pl = max_shift - padding
+    assert pl >= 0, (max_shift, padding)
+
+    w = _shift_kernel((-shift_c).astype(og.dtype), og.dtype, max_shift,
+                      quantize)
+
+    n_spatial = ndim - 2
+    k_shape = [1] * n_spatial + [1, c]
+    k_shape[axis - 1] = taps
+    kernel = w.reshape(k_shape)
+
+    dil_len = (d_out - 1) * stride + 1
+    ph = max(d_in - 1 + taps - pl - dil_len, 0)
+    pads = [(0, 0)] * n_spatial
+    pads[axis - 1] = (pl, ph)
+    lhs_dilation = [1] * n_spatial
+    lhs_dilation[axis - 1] = stride
+
+    spatial_chars = "DHW"[:n_spatial] if n_spatial <= 3 else None
+    assert spatial_chars is not None
+    lhs_spec = "N" + spatial_chars + "C"
+    rhs_spec = spatial_chars + "IO"
+    out = lax.conv_general_dilated(
+        og,
+        kernel,
+        window_strides=(1,) * n_spatial,
+        padding=tuple(pads),
+        lhs_dilation=tuple(lhs_dilation),
+        dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
+        feature_group_count=c,
+        preferred_element_type=og.dtype,
+        precision=(
+            lax.Precision.HIGHEST
+            if jnp.dtype(og.dtype).itemsize >= 4
+            else lax.Precision.DEFAULT
+        ),
+    )
+    if out.shape[axis] > d_in:
+        out = lax.slice_in_dim(out, 0, d_in, axis=axis)
+    assert out.shape[axis] == d_in, (out.shape, axis, d_in)
+    return out

@@ -200,12 +200,29 @@ def rubiks_shift_3d_input_grad(
             return rubiks_shift3d_pallas(og, shift, max_shift, quantize,
                                          inverse=True)
     if backend != "gather":
-        g = inverse_shift_axis_select(
-            og, shift[0], _T_AX, st, pt, in_shape[_T_AX], quantize, max_shift)
-        g = inverse_shift_axis_select(
-            g, shift[1], _H_AX, sh, ph, in_shape[_H_AX], quantize, max_shift)
-        g = inverse_shift_axis_select(
-            g, shift[2], _W_AX, sw, pw, in_shape[_W_AX], quantize, max_shift)
+        # Per-axis formulation: strided axes default to the dilated
+        # depthwise conv (the select version's interior-dilated pad +
+        # slices ran at ~36 GiB/s on the entry blocks' train backward —
+        # docs/PERF_NOTES.md round 5); stride-1 axes keep the cheaper
+        # select slices. RUBIKS_INPUT_GRAD_TAPS=select/conv overrides.
+        impl = os.environ.get("RUBIKS_INPUT_GRAD_TAPS", "auto")
+
+        def inv(y, sc, ax, sstride, spad, din):
+            use_conv = (
+                impl == "conv"
+                or (impl == "auto" and sstride > 1 and spad <= max_shift)
+            ) and spad <= max_shift
+            if use_conv:
+                from .conv_backend import inverse_shift_axis_conv
+
+                return inverse_shift_axis_conv(
+                    y, sc, ax, sstride, spad, din, quantize, max_shift)
+            return inverse_shift_axis_select(
+                y, sc, ax, sstride, spad, din, quantize, max_shift)
+
+        g = inv(og, shift[0], _T_AX, st, pt, in_shape[_T_AX])
+        g = inv(g, shift[1], _H_AX, sh, ph, in_shape[_H_AX])
+        g = inv(g, shift[2], _W_AX, sw, pw, in_shape[_W_AX])
         return g
     g = core.inverse_shift_axis(og, shift[0], _T_AX, st, pt, in_shape[_T_AX], quantize)
     g = core.inverse_shift_axis(g, shift[1], _H_AX, sh, ph, in_shape[_H_AX], quantize)

@@ -217,3 +217,24 @@ def test_shift_grad_conv_taps_matches_oracle(case, monkeypatch):
         case["stride"], case["padding"], backend="select",
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_input_grad_select_conv_taps_matches_oracle(case):
+    """The select-branch input grad with the per-axis dilated-conv
+    formulation on strided axes (the round-5 default) equals the oracle."""
+    x, shift = _mk()
+    out_shape = shift3d.compute_output_shape_3d(
+        _to_cl(x).shape, case["stride"], case["padding"]
+    )
+    og_cl = RNG.randn(*out_shape)
+    ref = oracle.shift3d_input_grad(
+        _from_cl(og_cl), x.shape, shift, case["stride"], case["padding"],
+        case["quantize"]
+    )
+    got = shift3d.rubiks_shift_3d_input_grad(
+        jnp.asarray(og_cl), jnp.asarray(shift), _to_cl(x).shape,
+        case["stride"], case["padding"], case["quantize"], backend="select",
+        max_shift=2,
+    )
+    np.testing.assert_allclose(_from_cl(got), ref, rtol=1e-12, atol=1e-12)
